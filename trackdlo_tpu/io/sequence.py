@@ -1,0 +1,148 @@
+"""Recorded/synthetic RGB-D sequences.
+
+The reference verifies on recorded rosbags of a blue rope in front of a
+RealSense D435 (docs/RUN.md:90-115); those bags are external data. This module
+provides the stand-in: a deterministic synthetic rope renderer producing
+aligned RGB-D frames with known ground-truth node positions, plus .npz
+sequence save/load. Synthetic sequences drive the integration tests, the
+occlusion evaluation harness, and the benchmark.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from trackdlo_tpu.config import CameraIntrinsics
+
+# A blue that lands inside the reference's live HSV band (H 90-130, S>=90,
+# V>=30 under OpenCV conventions): pure-ish blue with a slight green tint.
+_ROPE_RGB = np.array([30, 60, 200], dtype=np.uint8)
+_BG_RGB = np.array([120, 120, 120], dtype=np.uint8)
+
+
+@dataclasses.dataclass
+class SyntheticRope:
+    """A parametric rope: a 3-D curve wiggling over time.
+
+    The curve lives at z ≈ ``depth`` metres in front of the camera, spanning
+    ``length`` metres horizontally, with sinusoidal lateral/vertical motion.
+    """
+
+    # Node spacing in pixels must exceed dlo_pixel_width/2 for the painter's
+    # visibility check to behave as on the reference's real ropes (see
+    # trackdlo_node.cpp:306-343): 0.8 m / 44 segments at 0.65 m depth gives
+    # ~26 px spacing, and the full rope stays inside the 1280 px FOV vs the 20 px half-width.
+    length: float = 0.8
+    depth: float = 0.65
+    amp_y: float = 0.08
+    amp_z: float = 0.03
+    waves: float = 1.5
+    speed: float = 0.15
+    n_curve_samples: int = 400
+
+    def curve(self, t: float) -> np.ndarray:
+        """Ground-truth curve points (n_curve_samples, 3) at time ``t``."""
+        s = np.linspace(0.0, 1.0, self.n_curve_samples)
+        phase = 2 * np.pi * (self.waves * s + self.speed * t)
+        x = (s - 0.5) * self.length
+        y = self.amp_y * np.sin(phase) * (0.4 + 0.6 * np.sin(np.pi * s))
+        z = self.depth + self.amp_z * np.sin(phase * 0.7 + 1.0) * np.sin(np.pi * s)
+        return np.stack([x, y, z], axis=1)
+
+    def nodes(self, t: float, m: int) -> np.ndarray:
+        """M nodes uniformly spaced in arc length along the curve."""
+        c = self.curve(t)
+        seg = np.linalg.norm(np.diff(c, axis=0), axis=1)
+        arc = np.concatenate([[0.0], np.cumsum(seg)])
+        targets = np.linspace(0.0, arc[-1], m)
+        out = np.empty((m, 3))
+        for d in range(3):
+            out[:, d] = np.interp(targets, arc, c[:, d])
+        return out
+
+
+def render_frame(
+    rope: SyntheticRope,
+    t: float,
+    intrinsics: CameraIntrinsics | None = None,
+    rope_pixel_radius: int = 9,
+    depth_noise_mm: float = 0.0,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Render an aligned RGB-D frame of the rope.
+
+    Returns (rgb uint8 HxWx3, depth uint16 HxW millimetres). Background depth
+    is 0 (no return), like unmatched RealSense pixels.
+    """
+    intr = intrinsics or CameraIntrinsics()
+    h, w = intr.height, intr.width
+    rgb = np.empty((h, w, 3), dtype=np.uint8)
+    rgb[:] = _BG_RGB
+    depth = np.zeros((h, w), dtype=np.uint16)
+
+    pts = rope.curve(t)
+    us = pts[:, 0] / pts[:, 2] * intr.fx + intr.cx
+    vs = pts[:, 1] / pts[:, 2] * intr.fy + intr.cy
+
+    # Rasterize the curve as overlapping discs (nearest-depth wins).
+    zbuf = np.full((h, w), np.inf)
+    r = rope_pixel_radius
+    dyx = np.mgrid[-r : r + 1, -r : r + 1]
+    disc = (dyx[0] ** 2 + dyx[1] ** 2) <= r * r
+    dv, du = dyx[0][disc], dyx[1][disc]
+    for k in range(len(pts)):
+        u0, v0, z = int(round(us[k])), int(round(vs[k])), pts[k, 2]
+        uu = u0 + du
+        vv = v0 + dv
+        ok = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+        uu, vv = uu[ok], vv[ok]
+        closer = z < zbuf[vv, uu]
+        uu, vv = uu[closer], vv[closer]
+        zbuf[vv, uu] = z
+        rgb[vv, uu] = _ROPE_RGB
+        depth[vv, uu] = np.uint16(round(z * 1000.0))
+
+    if depth_noise_mm > 0:
+        rng = np.random.default_rng(seed)
+        on = depth > 0
+        noise = rng.normal(0.0, depth_noise_mm, size=int(on.sum()))
+        depth_f = depth.astype(np.int64)
+        depth_f[on] += np.round(noise).astype(np.int64)
+        depth = np.clip(depth_f, 0, 65535).astype(np.uint16)
+
+    return rgb, depth
+
+
+def synthetic_sequence(
+    n_frames: int,
+    rope: SyntheticRope | None = None,
+    intrinsics: CameraIntrinsics | None = None,
+    dt: float = 1.0 / 15.0,
+    m_nodes: int = 45,
+    **render_kwargs,
+):
+    """Generate a full sequence: frames + per-frame ground-truth nodes."""
+    rope = rope or SyntheticRope()
+    intr = intrinsics or CameraIntrinsics()
+    frames = []
+    gt = []
+    for i in range(n_frames):
+        t = i * dt
+        rgb, depth = render_frame(rope, t, intr, **render_kwargs)
+        frames.append((rgb, depth))
+        gt.append(rope.nodes(t, m_nodes))
+    return frames, np.array(gt)
+
+
+def save_sequence(path: str, frames, gt_nodes: np.ndarray) -> None:
+    rgbs = np.stack([f[0] for f in frames])
+    depths = np.stack([f[1] for f in frames])
+    np.savez_compressed(path, rgbs=rgbs, depths=depths, gt_nodes=gt_nodes)
+
+
+def load_sequence(path: str):
+    data = np.load(path)
+    frames = [(data["rgbs"][i], data["depths"][i]) for i in range(len(data["rgbs"]))]
+    return frames, data["gt_nodes"]
