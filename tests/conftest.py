@@ -6,12 +6,20 @@ xla_force_host_platform_device_count per the scaling-book recipe.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment force-sets JAX_PLATFORMS=axon (the tunneled TPU); a plain
+# env override is ignored, so pin the platform through jax.config before any
+# other jax-importing module loads.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
 
 import numpy as np
 import pytest

@@ -1,0 +1,298 @@
+"""The CPD/MCT EM solver as a single jitted graph.
+
+TPU-native redesign of trackdlo::cpd_lle (trackdlo.cpp:161-441):
+
+- the reference's per-point scalar loops (E-step distances, geodesic
+  re-distancing trackdlo.cpp:279-351) become dense masked (M, N) array ops;
+- the per-frame variable-size structures (pruned points, guide-node subsets,
+  prior lists) are fixed-capacity arrays with validity masks, so one compiled
+  executable serves every frame;
+- the EM iteration is a `lax.while_loop` with the reference's tolerance-based
+  early exit (trackdlo.cpp:424-437);
+- the M×M system solve runs as a batched dense solve (D=3 right-hand sides),
+  sized for the MXU when vmapped across streams.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from trackdlo_tpu.ops.kernels import (
+    lle_regularizer,
+    masked_geodesic_coords,
+    mct_kernel,
+    pairwise_sq_dists,
+)
+
+_BIG = 1e5
+_TWO_PI = 6.283185307179586
+
+
+@dataclasses.dataclass(frozen=True)
+class CpdParams:
+    """Static hyperparameters of one EM pass (trace-time constants)."""
+
+    beta: float
+    lam: float
+    lle_weight: float
+    mu: float
+    max_iter: int
+    tol: float
+    include_lle: bool
+    alpha: float = 0.0
+    k_vis: float = 0.0
+    visibility_threshold: float = 0.01
+    prune_radius: float = 0.1
+    use_priors: bool = False
+    use_visibility: bool = False
+
+
+class CpdResult(NamedTuple):
+    y: jnp.ndarray
+    sigma2: jnp.ndarray
+    converged: jnp.ndarray
+    iterations: jnp.ndarray
+
+
+def _geodesic_redistance(
+    p: jnp.ndarray,
+    sq_d: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    node_coord: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    v_count: jnp.ndarray,
+) -> jnp.ndarray:
+    """Vectorized geodesic re-distancing (trackdlo.cpp:303-351).
+
+    Per point: anchor pair (argmax-membership node, nearer chain neighbour
+    with the reference's boundary fallback to index 2 / V−3); then
+    dist²(j) = (|c_j − c_lo| + d_lo)² for j < lo,
+               (|c_j − c_hi| + d_hi)² for j ≥ hi,
+               d_lo²                  for j = lo,
+               0                      for lo < j < hi  (reference quirk:
+    entries strictly between a non-adjacent anchor pair stay zero).
+    """
+    m = p.shape[0]
+    p_masked = jnp.where(node_mask[:, None], p, -jnp.inf)
+    mp = jnp.argmax(p_masked, axis=0)  # (N,)
+
+    cand1 = jnp.where(mp - 1 == -1, 2, mp - 1)
+    cand2 = jnp.where(mp + 1 == v_count, v_count - 3, mp + 1)
+    d_sq_cand1 = jnp.take_along_axis(sq_d, cand1[None, :], axis=0)[0]
+    d_sq_cand2 = jnp.take_along_axis(sq_d, cand2[None, :], axis=0)[0]
+    nxt = jnp.where(d_sq_cand1 < d_sq_cand2, cand1, cand2)
+
+    lo = jnp.minimum(mp, nxt)
+    hi = jnp.maximum(mp, nxt)
+    d_lo = jnp.sqrt(jnp.take_along_axis(sq_d, lo[None, :], axis=0)[0])
+    d_hi = jnp.sqrt(jnp.take_along_axis(sq_d, hi[None, :], axis=0)[0])
+    c_lo = node_coord[lo]
+    c_hi = node_coord[hi]
+
+    j = jnp.arange(m)[:, None]  # (M, 1)
+    below = (jnp.abs(node_coord[:, None] - c_lo[None, :]) + d_lo[None, :]) ** 2
+    above = (jnp.abs(node_coord[:, None] - c_hi[None, :]) + d_hi[None, :]) ** 2
+    out = jnp.where(
+        j < lo[None, :],
+        below,
+        jnp.where(
+            j >= hi[None, :],
+            above,
+            jnp.where(j == lo[None, :], d_lo[None, :] ** 2, 0.0),
+        ),
+    )
+    return out
+
+
+def cpd_lle(
+    x: jnp.ndarray,
+    x_mask: jnp.ndarray,
+    y: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    sigma2: jnp.ndarray,
+    params: CpdParams,
+    prior_pos: jnp.ndarray | None = None,
+    prior_mask: jnp.ndarray | None = None,
+    visible_count: jnp.ndarray | None = None,
+) -> CpdResult:
+    """EM registration of the (masked) node chain to the (masked) point set.
+
+    Arguments mirror trackdlo::cpd_lle (trackdlo.cpp:161-175) with the
+    variable-size pieces as masks:
+
+    - ``x``: (N, 3) fixed-capacity point cloud, ``x_mask`` marks valid rows;
+    - ``y``: (M, 3) prefix-packed node chain, ``node_mask`` marks the prefix;
+    - ``prior_pos``/``prior_mask``: (M, 3)/(M,) correspondence priors by node
+      index (the reference's J selector and Y_extended, trackdlo.cpp:240-260);
+    - ``visible_count``: number of extended-visible nodes; drives the
+      visibility-prior gate (trackdlo.cpp:358).
+    """
+    # On TPU, f32 matmuls default to bf16 MXU passes; the EM's solves and
+    # trace updates need full f32 (the compute here is negligible — the tensors
+    # are tiny — so there is no speed to win from bf16).
+    with jax.default_matmul_precision("highest"):
+        return _cpd_lle_impl(
+            x, x_mask, y, node_mask, sigma2, params, prior_pos, prior_mask, visible_count
+        )
+
+
+def _cpd_lle_impl(
+    x: jnp.ndarray,
+    x_mask: jnp.ndarray,
+    y: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    sigma2: jnp.ndarray,
+    params: CpdParams,
+    prior_pos: jnp.ndarray | None = None,
+    prior_mask: jnp.ndarray | None = None,
+    visible_count: jnp.ndarray | None = None,
+) -> CpdResult:
+    dtype = y.dtype
+    m = y.shape[0]
+    d = 3
+
+    v_count = jnp.sum(node_mask.astype(jnp.int32))
+    y0 = y
+
+    # Prune points farther than prune_radius from every node
+    # (trackdlo.cpp:177-195): fold into the validity mask.
+    sq_d0 = pairwise_sq_dists(y0, x)  # (M, N)
+    sq_d0_nodesafe = jnp.where(node_mask[:, None], sq_d0, _BIG)
+    x_mask = x_mask & (jnp.min(sq_d0_nodesafe, axis=0) < params.prune_radius**2)
+    n_count = jnp.sum(x_mask.astype(dtype))
+    n_safe = jnp.maximum(n_count, 1.0)
+
+    # Geodesic coordinates + MCT kernel over the valid prefix
+    # (trackdlo.cpp:216-233).
+    node_coord = masked_geodesic_coords(y0, node_mask)
+    node_dis = jnp.abs(node_coord[:, None] - node_coord[None, :])
+    pair_mask = node_mask[:, None] & node_mask[None, :]
+    g = jnp.where(pair_mask, mct_kernel(node_dis, params.beta), 0.0)
+
+    if params.include_lle:
+        h = lle_regularizer(y0, node_mask)
+        hg = h @ g
+        hy0 = h @ y0
+    else:
+        hg = None
+        hy0 = None
+
+    if params.use_priors:
+        assert prior_pos is not None and prior_mask is not None
+        prior_active = prior_mask & node_mask
+        # J @ G selects prior rows of G (trackdlo.cpp:396); Y_extended − Y_0
+        # is the prior displacement (trackdlo.cpp:397).
+        jg = jnp.where(prior_active[:, None], g, 0.0)
+        prior_disp = jnp.where(prior_active[:, None], prior_pos - y0, 0.0)
+    else:
+        jg = None
+        prior_disp = None
+
+    # Visibility gate: active only when some-but-not-all nodes are visible and
+    # k_vis != 0 (trackdlo.cpp:358).
+    if params.use_visibility and params.k_vis != 0 and visible_count is not None:
+        vis_gate = (visible_count != v_count) & (visible_count > 0)
+    else:
+        vis_gate = jnp.asarray(False)
+
+    # sigma2 == 0 → initialize from mean squared distance (trackdlo.cpp:271-273).
+    masked_sq_d0 = jnp.where(x_mask[None, :] & node_mask[:, None], sq_d0, 0.0)
+    sigma2_init = jnp.sum(masked_sq_d0) / (d * jnp.maximum(v_count, 1) * n_safe)
+    sigma2 = jnp.where(sigma2 == 0, sigma2_init, sigma2)
+
+    pair_valid = node_mask[:, None] & x_mask[None, :]
+    eye = jnp.eye(m, dtype=dtype)
+    inactive_rows = ~node_mask
+
+    def em_iteration(y_cur, s2):
+        sq_d = pairwise_sq_dists(y_cur, x)  # (M, N)
+
+        # Nearest-point distance per node, zeroed within the visibility
+        # threshold (trackdlo.cpp:279-296).
+        sq_d_pts = jnp.where(x_mask[None, :], sq_d, _BIG)
+        shortest = jnp.sqrt(jnp.min(sq_d_pts, axis=1))
+        shortest = jnp.where(shortest <= params.visibility_threshold, 0.0, shortest)
+
+        # E-step (trackdlo.cpp:298-301).
+        p = jnp.where(pair_valid, jnp.exp(-0.5 * sq_d / s2), 0.0)
+        c_base = (_TWO_PI * s2) ** (d / 2) * params.mu / (1 - params.mu)
+        c = c_base * v_count.astype(dtype) / n_safe
+        p = p / (jnp.sum(p, axis=0, keepdims=True) + c)
+
+        # Geodesic re-distancing (trackdlo.cpp:303-354).
+        sq_geo = _geodesic_redistance(p, sq_d, y_cur, x, node_coord, node_mask, v_count)
+        p = jnp.where(pair_valid, jnp.exp(-0.5 * sq_geo / s2), 0.0)
+
+        # Visibility-aware membership prior (trackdlo.cpp:357-383).
+        p_vis = jnp.where(node_mask, jnp.exp(-params.k_vis * shortest), 0.0)
+        p_vis = p_vis / jnp.maximum(jnp.sum(p_vis), 1e-30)
+        p_with_vis = p * p_vis[:, None]
+        c_vis = c_base / n_safe
+        p = jnp.where(vis_gate, p_with_vis, p)
+        c_eff = jnp.where(vis_gate, c_vis, c)
+        p = p / (jnp.sum(p, axis=0, keepdims=True) + c_eff)
+        p = jnp.where(pair_valid, p, 0.0)
+
+        pt1 = jnp.sum(p, axis=0)  # (N,)
+        p1 = jnp.sum(p, axis=1)  # (M,)
+        np_total = jnp.sum(p1)
+        px = p @ x  # (M, 3)
+
+        # M-step (trackdlo.cpp:392-415).
+        a_mat = p1[:, None] * g + params.lam * s2 * eye
+        b_mat = px - p1[:, None] * y0
+        if params.include_lle:
+            a_mat = a_mat + s2 * params.lle_weight * hg
+            b_mat = b_mat - s2 * params.lle_weight * hy0
+        if params.use_priors:
+            a_mat = a_mat + params.alpha * jg
+            b_mat = b_mat + params.alpha * prior_disp
+
+        # Identity rows/zero rhs for padded nodes keep the solve well-posed
+        # and their displacement exactly zero.
+        a_mat = jnp.where(pair_mask, a_mat, eye)
+        b_mat = jnp.where(node_mask[:, None], b_mat, 0.0)
+        w = jnp.linalg.solve(a_mat, b_mat)
+
+        t = y0 + g @ w
+
+        # σ² from traces (trackdlo.cpp:417-422).
+        tr_xtdpt1x = jnp.sum(pt1[:, None] * x * x)
+        tr_pxtt = jnp.sum(px * t)
+        tr_ttdp1t = jnp.sum(p1[:, None] * t * t)
+        s2_new = (tr_xtdpt1x - 2 * tr_pxtt + tr_ttdp1t) / (np_total * d)
+        # Robustness guard shared with the oracle (sigma2 <= 0 on noise-free
+        # clouds would NaN the next E-step).
+        s2_new = jnp.maximum(s2_new, 1e-10)
+
+        # Convergence metric: sum of per-node displacement norms / M
+        # (pt2pt_dis semantics, trackdlo.cpp:424).
+        move = jnp.sum(jnp.where(node_mask, jnp.linalg.norm(y_cur - t, axis=1), 0.0))
+        delta = move / jnp.maximum(v_count, 1)
+        return t, s2_new, delta
+
+    def cond(carry):
+        _, _, it, done, _ = carry
+        return (~done) & (it < params.max_iter)
+
+    def body(carry):
+        y_cur, s2, it, _, _ = carry
+        t, s2_new, delta = em_iteration(y_cur, s2)
+        done = delta < params.tol
+        converged = done | (it + 1 < params.max_iter)
+        return t, s2_new, it + 1, done, converged
+
+    init = (y, sigma2, jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(True))
+    y_out, s2_out, iters, _, converged = jax.lax.while_loop(cond, body, init)
+
+    # Degenerate input: no valid points at all → state unchanged.
+    any_points = n_count > 0
+    y_out = jnp.where(any_points, y_out, y)
+    s2_out = jnp.where(any_points, s2_out, sigma2)
+
+    return CpdResult(y=y_out, sigma2=s2_out, converged=converged, iterations=iters)

@@ -27,6 +27,13 @@ def calc_lle_weights(k: int, x: np.ndarray) -> np.ndarray:
     Per node: Gram matrix of neighbour offsets, inverted (with an eps-diagonal
     fallback when singular, trackdlo.cpp:136-144), then the weight vector is
     the normalized row sums of the inverse.
+
+    Deviation from the reference: the C++ takes the plain inverse whenever
+    det(Gi) != 0 (trackdlo.cpp:136) — but 2k=6 neighbour offsets in R^3 have
+    rank <= 3, so Gi is always numerically singular and that inverse is
+    ill-defined. Here the eps-diagonal regularization is applied
+    unconditionally, giving a deterministic, well-conditioned spec shared by
+    the oracle and the TPU path.
     """
     x = np.asarray(x, dtype=float)
     m = len(x)
@@ -37,10 +44,7 @@ def calc_lle_weights(k: int, x: np.ndarray) -> np.ndarray:
         neigh = x[indices]
         component = xi[None, :].repeat(len(neigh), axis=0).T - neigh.T
         gi = component.T @ component
-        if np.linalg.det(gi) != 0:
-            gi_inv = np.linalg.inv(gi)
-        else:
-            gi_inv = np.linalg.inv(gi + 1e-5 * np.eye(len(gi)))
+        gi_inv = np.linalg.inv(gi + 1e-5 * np.eye(len(gi)))
         ones = np.ones((len(neigh), 1))
         wi = (gi_inv @ ones) / (ones.T @ gi_inv @ ones).item()
         w[i, indices] = wi.ravel()
