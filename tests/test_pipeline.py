@@ -1,0 +1,215 @@
+"""Integration tests: the full jitted pipeline on synthetic sequences, plus
+visibility/preprocess parity against the oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import trackdlo_tpu.oracle.visibility as oracle_vis_mod
+from trackdlo_tpu.config import CameraIntrinsics, live_params
+from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
+from trackdlo_tpu.models.trackdlo import Tracker, init_state
+from trackdlo_tpu.oracle.geometry import geodesic_coords
+from trackdlo_tpu.oracle.pipeline import init_state as oracle_init, step_frame
+from trackdlo_tpu.oracle.preprocess import preprocess_frame as oracle_preprocess
+from trackdlo_tpu.ops.preprocess import preprocess_frame as jax_preprocess, default_cell_px
+from trackdlo_tpu.ops.priors import ALL_VISIBLE, MID_SECTION_OCCLUDED
+from trackdlo_tpu.ops.visibility import compute_visibility as jax_visibility
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = live_params()
+    intr = CameraIntrinsics()
+    rope = SyntheticRope()
+    return params, intr, rope
+
+
+class TestPreprocessParity:
+    def test_mask_and_cloud_agree(self, setup):
+        params, intr, rope = setup
+        rgb, depth = render_frame(rope, 0.0, intr)
+        ref_cloud = oracle_preprocess(rgb, depth, params, intr)
+        cell = default_cell_px(params.downsample_leaf_size, intr.fx)
+        pc = jax_preprocess(
+            jnp.asarray(rgb), jnp.asarray(depth),
+            jnp.ones((intr.height, intr.width), bool),
+            intr.fx, intr.fy, intr.cx, intr.cy,
+            params.hsv_lower, params.hsv_upper, False,
+            cell, params.max_points,
+        )
+        got = np.asarray(pc.points)[np.asarray(pc.mask)]
+        # Drop the reference's zero-depth origin cluster for comparison.
+        ref = ref_cloud[ref_cloud[:, 2] > 0]
+        # Different downsampling (cells vs voxels) → compare as point sets:
+        # every cell centroid lies within a voxel diagonal of the reference
+        # cloud and vice versa (both sample the same rope surface).
+        d_g2r = np.linalg.norm(got[:, None, :] - ref[None, :, :], axis=2).min(axis=1)
+        d_r2g = np.linalg.norm(ref[:, None, :] - got[None, :, :], axis=2).min(axis=1)
+        leaf_diag = params.downsample_leaf_size * np.sqrt(3)
+        assert d_g2r.max() < leaf_diag
+        assert d_r2g.max() < leaf_diag
+        # Comparable densities.
+        assert 0.5 < len(got) / len(ref) < 2.0
+
+    def test_occlusion_mask_removes_points(self, setup):
+        params, intr, rope = setup
+        rgb, depth = render_frame(rope, 0.0, intr)
+        cell = default_cell_px(params.downsample_leaf_size, intr.fx)
+        occ = np.ones((intr.height, intr.width), bool)
+        occ[:, 400:900] = False
+        full = jax_preprocess(
+            jnp.asarray(rgb), jnp.asarray(depth), jnp.ones_like(jnp.asarray(occ)),
+            intr.fx, intr.fy, intr.cx, intr.cy,
+            params.hsv_lower, params.hsv_upper, False, cell, params.max_points,
+        )
+        masked = jax_preprocess(
+            jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(occ),
+            intr.fx, intr.fy, intr.cx, intr.cy,
+            params.hsv_lower, params.hsv_upper, False, cell, params.max_points,
+        )
+        assert int(masked.count) < int(full.count)
+        pts = np.asarray(masked.points)[np.asarray(masked.mask)]
+        us = pts[:, 0] / pts[:, 2] * intr.fx + intr.cx
+        assert not np.any((us > 410) & (us < 890))
+
+
+class TestVisibilityParity:
+    def test_same_cloud_same_visibility(self, setup, monkeypatch):
+        params, intr, rope = setup
+        # Force the oracle onto the capsule rasterizer (the JAX closed form
+        # is the capsule predicate; cv2.line differs on boundary pixels).
+        monkeypatch.setattr(oracle_vis_mod, "cv2", None)
+        rgb, depth = render_frame(rope, 1.0 / 15.0, intr)
+        x = oracle_preprocess(rgb, depth, params, intr)
+        x = x[x[:, 2] > 0]
+        y = rope.nodes(0.0, params.M)
+        coord = geodesic_coords(y)
+
+        ref = oracle_vis_mod.compute_visibility(
+            y, x, intr.proj_matrix(), intr.height, intr.width,
+            params.visibility_threshold, params.dlo_pixel_width, params.d_vis,
+            coord,
+        )
+        n_cap = 512
+        xp = np.zeros((n_cap, 3), np.float32)
+        xp[: len(x)] = x
+        xm = np.zeros(n_cap, bool)
+        xm[: len(x)] = True
+        got = jax_visibility(
+            jnp.asarray(y, jnp.float32), jnp.asarray(xp), jnp.asarray(xm),
+            jnp.asarray(intr.proj_matrix(), jnp.float32),
+            jnp.asarray(coord, jnp.float32),
+            intr.height, intr.width,
+            params.visibility_threshold, params.dlo_pixel_width, params.d_vis,
+        )
+        got_visible = set(np.nonzero(np.asarray(got.visible_mask))[0].tolist())
+        assert got_visible == set(ref.visible_nodes)
+        got_ext = set(np.nonzero(np.asarray(got.extended_mask))[0].tolist())
+        assert got_ext == set(ref.visible_nodes_extended)
+        np.testing.assert_allclose(
+            np.asarray(got.shortest_node_pt_dists),
+            ref.shortest_node_pt_dists,
+            rtol=1e-4, atol=1e-6,
+        )
+
+
+class TestEndToEnd:
+    def test_tracks_and_handles_occlusion(self, setup):
+        params, intr, rope = setup
+        tracker = Tracker(params, intr)
+        state = tracker.init_from_nodes(rope.nodes(0.0, params.M))
+        occ = np.ones((intr.height, intr.width), np.uint8) * 255
+        occ[:, 500:800] = 0
+        errs, states = [], []
+        for i in range(1, 8):
+            rgb, depth = render_frame(rope, i / 15.0, intr)
+            m = occ if i >= 4 else None
+            state, out = tracker.step(state, rgb, depth, m)
+            gt = rope.nodes(i / 15.0, params.M)
+            errs.append(np.linalg.norm(np.asarray(state.y) - gt, axis=1).mean())
+            states.append(int(out.occlusion_state))
+        assert states[0] == ALL_VISIBLE
+        assert states[-1] == MID_SECTION_OCCLUDED
+        assert max(errs[:3]) < 0.008
+        assert errs[-1] < 0.015
+
+    def test_init_from_frame(self, setup):
+        params, intr, rope = setup
+        tracker = Tracker(params, intr)
+        rgb, depth = render_frame(rope, 0.0, intr)
+        state = tracker.init_from_frame(rgb, depth)
+        gt = rope.nodes(0.0, params.M)
+        y = np.asarray(state.y)
+        err = min(
+            np.linalg.norm(y - gt, axis=1).mean(),
+            np.linalg.norm(y[::-1] - gt, axis=1).mean(),
+        )
+        assert err < 0.006
+
+    def test_oracle_vs_jax_trajectories(self, setup):
+        """The north-star parity check: same sequence through the oracle
+        (exact reference math, voxel downsample) and the TPU pipeline; mean
+        node error between trajectories within ~1 mm + downsample noise."""
+        params, intr, rope = setup
+        nodes0 = rope.nodes(0.0, params.M)
+        jt = Tracker(params, intr)
+        js = jt.init_from_nodes(nodes0)
+        os_ = oracle_init(nodes0, params)
+        worst = 0.0
+        for i in range(1, 5):
+            rgb, depth = render_frame(rope, i / 15.0, intr)
+            js, _ = jt.step(js, rgb, depth)
+            os_, _, _ = step_frame(os_, rgb, depth, params, intr)
+            err = np.linalg.norm(np.asarray(js.y) - os_.y, axis=1).mean()
+            worst = max(worst, err)
+        # ~1 mm EM parity (test_cpd_parity) + cell-vs-voxel downsample noise.
+        # TODO(round perf): two-stage fine-cell → voxel-snap downsample to
+        # shrink this toward the pure-EM 1e-3 budget.
+        assert worst < 3e-3, worst
+
+    def test_state_is_checkpointable(self, setup):
+        """State is an explicit pytree: save/restore mid-sequence and results
+        continue identically (the reference has no checkpointing at all)."""
+        params, intr, rope = setup
+        tracker = Tracker(params, intr)
+        state = tracker.init_from_nodes(rope.nodes(0.0, params.M))
+        rgb, depth = render_frame(rope, 1 / 15.0, intr)
+        state, _ = tracker.step(state, rgb, depth)
+
+        saved = {k: np.asarray(v) for k, v in state._asdict().items()}
+        restored = init_state(saved["y"], params)._replace(
+            sigma2=jnp.asarray(saved["sigma2"]),
+            geodesic_coord=jnp.asarray(saved["geodesic_coord"]),
+        )
+        rgb2, depth2 = render_frame(rope, 2 / 15.0, intr)
+        s_a, _ = tracker.step(state, rgb2, depth2)
+        s_b, _ = tracker.step(restored, rgb2, depth2)
+        np.testing.assert_allclose(np.asarray(s_a.y), np.asarray(s_b.y), atol=1e-6)
+
+
+class TestSkeleton:
+    def test_zhang_suen_thin_bar(self):
+        from trackdlo_tpu.dlo_init.skeleton import zhang_suen_skeletonize
+
+        m = np.zeros((40, 200), np.uint8)
+        m[15:26, 10:190] = 255
+        sk = zhang_suen_skeletonize(m)
+        per_col = (sk[:, 20:180] > 0).sum(axis=0)
+        assert (per_col == 1).all()  # single-pixel-wide centerline
+
+    def test_skeleton_chain_order(self, setup):
+        from trackdlo_tpu.dlo_init.skeleton import extract_connected_skeleton
+        from trackdlo_tpu.oracle.preprocess import segment_dlo
+
+        params, intr, rope = setup
+        rgb, _ = render_frame(rope, 0.0, intr)
+        mask = segment_dlo(rgb, params.hsv_lower, params.hsv_upper, False)
+        chains = extract_connected_skeleton(mask)
+        pts = np.array([p for c in chains for p in c], float)
+        # Ordered traversal: consecutive steps stay local (no back-jumps).
+        steps = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+        assert np.median(steps) < 15
+        assert steps.max() < 60
+        # Covers the rope end to end in x.
+        assert pts[:, 0].max() - pts[:, 0].min() > 1000

@@ -1,0 +1,182 @@
+"""Parity: JAX pure-pursuit prior walks + dispatch vs the oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from trackdlo_tpu.io.sequence import SyntheticRope
+from trackdlo_tpu.oracle.geometry import geodesic_coords
+from trackdlo_tpu.oracle.tracking import classify_occlusion, _merge_all_visible
+from trackdlo_tpu.oracle.traverse import traverse_euclidean
+from trackdlo_tpu.ops.priors import (
+    ALL_VISIBLE,
+    BOTH_ENDS_OCCLUDED,
+    HEAD_OCCLUDED,
+    MID_SECTION_OCCLUDED,
+    TAIL_OCCLUDED,
+    correspondence_priors,
+)
+
+M = 45
+
+
+def oracle_priors(y, coord, vis, vis_ext):
+    """Replicates the dispatch of tracking_step (trackdlo.cpp:929-995) at the
+    prior level, on pre-registered guide nodes == y[vis_ext] (identity
+    pre-registration so walks see the true chain geometry)."""
+    guide = y[np.array(vis_ext)]
+    state = classify_occlusion(vis_ext, M)
+    if state == 0:
+        pv1 = traverse_euclidean(coord, guide, vis_ext, 0)
+        pv2 = traverse_euclidean(coord, guide, vis_ext, 1)[::-1]
+        priors = _merge_all_visible(pv1, pv2, M)
+    elif state == 1:
+        pv1 = traverse_euclidean(coord, guide, vis_ext, 0)
+        pv2 = traverse_euclidean(coord, guide, vis_ext, 1)
+        priors = np.concatenate([pv1, pv2], axis=0)
+    elif state == 2:
+        priors = traverse_euclidean(coord, guide, vis_ext, 0)
+    elif state == 3:
+        priors = traverse_euclidean(coord, guide, vis_ext, 1)
+    else:
+        moved = [np.linalg.norm(y[vis[i]] - guide[i]) for i in range(len(vis))]
+        align = int(np.argmin(moved))
+        priors = traverse_euclidean(coord, guide, vis_ext, 2, align)
+    pos = np.zeros((M, 3))
+    mask = np.zeros(M, bool)
+    for row in priors:  # later rows overwrite (reference Y_extended semantics)
+        pos[int(row[0])] = row[1:4]
+        mask[int(row[0])] = True
+    return pos, mask, state
+
+
+def jax_priors(y, coord, vis, vis_ext):
+    guide = np.zeros((M, 3), np.float32)
+    guide[: len(vis_ext)] = y[np.array(vis_ext)]
+    vis_ext_idx = np.zeros(M, np.int32)
+    vis_ext_idx[: len(vis_ext)] = vis_ext
+    vis_idx = np.zeros(M, np.int32)
+    vis_idx[: len(vis)] = vis
+    res = correspondence_priors(
+        jnp.asarray(y, jnp.float32),
+        jnp.asarray(coord, jnp.float32),
+        jnp.asarray(guide),
+        jnp.asarray(vis_ext_idx),
+        jnp.asarray(len(vis_ext), jnp.int32),
+        jnp.asarray(vis_idx),
+        jnp.asarray(len(vis), jnp.int32),
+    )
+    return (
+        np.asarray(res.prior_pos),
+        np.asarray(res.prior_mask),
+        int(res.state),
+    )
+
+
+@pytest.fixture(scope="module")
+def chain():
+    rope = SyntheticRope()
+    y = rope.nodes(0.0, M)
+    return y, geodesic_coords(y)
+
+
+def _check(y, coord, vis, vis_ext, expected_state, atol=2e-5):
+    ref_pos, ref_mask, ref_state = oracle_priors(y, coord, vis, vis_ext)
+    got_pos, got_mask, got_state = jax_priors(y, coord, vis, vis_ext)
+    assert ref_state == got_state == expected_state
+    assert (ref_mask == got_mask).all(), (
+        np.nonzero(ref_mask != got_mask),
+        ref_mask.sum(),
+        got_mask.sum(),
+    )
+    err = np.linalg.norm(got_pos - ref_pos, axis=1) * ref_mask
+    assert err.max() < atol, err.max()
+
+
+class TestPriorParity:
+    def test_all_visible(self, chain):
+        y, coord = chain
+        vis = list(range(M))
+        _check(y, coord, vis, vis, ALL_VISIBLE)
+
+    def test_mid_section(self, chain):
+        y, coord = chain
+        vis = list(range(0, 18)) + list(range(30, M))
+        _check(y, coord, vis, vis, MID_SECTION_OCCLUDED)
+
+    def test_tail_occluded(self, chain):
+        y, coord = chain
+        vis = list(range(0, 28))
+        _check(y, coord, vis, vis, TAIL_OCCLUDED)
+
+    def test_head_occluded(self, chain):
+        y, coord = chain
+        vis = list(range(12, M))
+        _check(y, coord, vis, vis, HEAD_OCCLUDED)
+
+    def test_both_ends(self, chain):
+        y, coord = chain
+        vis = list(range(8, 37))
+        _check(y, coord, vis, vis, BOTH_ENDS_OCCLUDED)
+
+    def test_both_ends_with_gap(self, chain):
+        # Raw-visible differs from extended (a filled gap) — exercises the
+        # alignment-anchor quirk (raw indices against extended guide rows).
+        y, coord = chain
+        vis_ext = list(range(8, 37))
+        vis = [i for i in vis_ext if i not in (20, 21)]
+        _check(y, coord, vis, vis_ext, BOTH_ENDS_OCCLUDED)
+
+    def test_mid_section_with_single_node_island(self, chain):
+        y, coord = chain
+        vis = [0, 1, 2, 3, 22, 41, 42, 43, 44]
+        _check(y, coord, vis, vis, MID_SECTION_OCCLUDED)
+
+    def test_single_visible_node_both_ends(self, chain):
+        y, coord = chain
+        vis = [21]
+        _check(y, coord, vis, vis, BOTH_ENDS_OCCLUDED)
+
+    def test_perturbed_guides(self, chain):
+        # Guide nodes displaced from Y (post-registration situation): walks
+        # must re-walk arc length along the displaced polyline.
+        y, coord = chain
+        rng = np.random.default_rng(7)
+        vis = list(range(M))
+        y_disp = y + rng.normal(0, 0.002, y.shape)
+
+        ref_pos, ref_mask, _ = oracle_priors_displaced(y, y_disp, coord, vis)
+        got = jax_priors_displaced(y, y_disp, coord, vis)
+        err = np.linalg.norm(got[0] - ref_pos, axis=1) * ref_mask
+        assert (ref_mask == got[1]).all()
+        assert err.max() < 5e-5
+
+
+def oracle_priors_displaced(y, guide_full, coord, vis_ext):
+    guide = guide_full[np.array(vis_ext)]
+    pv1 = traverse_euclidean(coord, guide, vis_ext, 0)
+    pv2 = traverse_euclidean(coord, guide, vis_ext, 1)[::-1]
+    priors = _merge_all_visible(pv1, pv2, M)
+    pos = np.zeros((M, 3))
+    mask = np.zeros(M, bool)
+    for row in priors:
+        pos[int(row[0])] = row[1:4]
+        mask[int(row[0])] = True
+    return pos, mask, 0
+
+
+def jax_priors_displaced(y, guide_full, coord, vis_ext):
+    guide = np.zeros((M, 3), np.float32)
+    guide[: len(vis_ext)] = guide_full[np.array(vis_ext)]
+    idxs = np.zeros(M, np.int32)
+    idxs[: len(vis_ext)] = vis_ext
+    res = correspondence_priors(
+        jnp.asarray(y, jnp.float32),
+        jnp.asarray(coord, jnp.float32),
+        jnp.asarray(guide),
+        jnp.asarray(idxs),
+        jnp.asarray(len(vis_ext), jnp.int32),
+        jnp.asarray(idxs),
+        jnp.asarray(len(vis_ext), jnp.int32),
+    )
+    return np.asarray(res.prior_pos), np.asarray(res.prior_mask)

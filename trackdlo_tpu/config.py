@@ -91,6 +91,9 @@ class TrackerParams:
     prune_radius: float = 0.1
     # Hash-table size for the on-device voxel-grid downsample (power of two).
     voxel_table_size: int = 1 << 15
+    # Image-cell size (pixels) for the on-device cell-pooling downsample;
+    # None derives it from downsample_leaf_size and the camera intrinsics.
+    downsample_cell_px: int | None = None
     # LLE chain neighbourhood size k (trackdlo.cpp:236 hardcodes 6).
     lle_k: int = 6
     # Initial sigma^2 after node initialization (trackdlo_node.cpp:133).

@@ -1,0 +1,264 @@
+"""The flagship TrackDLO tracker: one jitted per-frame graph.
+
+The reference's whole per-frame path — HSV mask → occlusion AND → depth
+deprojection → downsample → visibility → pre-registration GLTP → occlusion
+dispatch + prior walks → main EM (trackdlo_node.cpp:121-532 +
+trackdlo.cpp:900-999) — compiles here into a single XLA executable of
+``(state, rgb, depth, occlusion_mask) → (state, outputs)`` with static
+shapes, vmappable over a leading stream axis and shardable over a device
+mesh (see trackdlo_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trackdlo_tpu.config import CameraIntrinsics, TrackerParams
+from trackdlo_tpu.ops.cpd_lle import CpdParams, cpd_lle
+from trackdlo_tpu.ops.preprocess import default_cell_px, preprocess_frame
+from trackdlo_tpu.ops.priors import correspondence_priors
+from trackdlo_tpu.ops.visibility import compute_visibility
+
+
+class TrackerState(NamedTuple):
+    """Tracker state pytree (the reference's Y_, sigma2_, geodesic_coord_,
+    trackdlo.h:105-117). Being an explicit pytree makes checkpoint/resume
+    trivial (the reference has none, SURVEY.md §5)."""
+
+    y: jnp.ndarray  # (M, 3) node positions
+    sigma2: jnp.ndarray  # () GMM variance
+    geodesic_coord: jnp.ndarray  # (M,) rest arc-length coordinates
+
+
+class StepOutputs(NamedTuple):
+    y: jnp.ndarray
+    sigma2: jnp.ndarray
+    guide_nodes: jnp.ndarray  # (M, 3) prefix-packed pre-registered guides
+    guide_count: jnp.ndarray
+    prior_pos: jnp.ndarray  # (M, 3)
+    prior_mask: jnp.ndarray  # (M,)
+    occlusion_state: jnp.ndarray  # code, see ops.priors
+    visible_mask: jnp.ndarray  # (M,)
+    extended_mask: jnp.ndarray  # (M,)
+    not_self_occluded: jnp.ndarray  # (M,)
+    points: jnp.ndarray  # (N_cap, 3) downsampled cloud (diagnostics/eval)
+    points_mask: jnp.ndarray
+    n_points: jnp.ndarray
+    converged: jnp.ndarray
+    iterations: jnp.ndarray
+
+
+def init_state(init_nodes, params: TrackerParams) -> TrackerState:
+    """Tracker construction from initial nodes (trackdlo_node.cpp:129-148)."""
+    y = jnp.asarray(init_nodes, jnp.float32)
+    seg = jnp.linalg.norm(jnp.diff(y, axis=0), axis=1)
+    coord = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(seg)])
+    return TrackerState(
+        y=y,
+        sigma2=jnp.asarray(params.sigma2_init, jnp.float32),
+        geodesic_coord=coord,
+    )
+
+
+def _step_impl(
+    state: TrackerState,
+    rgb: jnp.ndarray,
+    depth: jnp.ndarray,
+    occlusion_mask: jnp.ndarray,
+    *,
+    params: TrackerParams,
+    intr: CameraIntrinsics,
+    cell_px: int,
+):
+    m = params.num_of_nodes
+    proj = jnp.asarray(np.array(intr.proj_matrix(), np.float32))
+
+    # L2: preprocessing (trackdlo_node.cpp:155-243).
+    pc = preprocess_frame(
+        rgb,
+        depth,
+        occlusion_mask,
+        intr.fx,
+        intr.fy,
+        intr.cx,
+        intr.cy,
+        params.hsv_lower,
+        params.hsv_upper,
+        params.multi_color_dlo,
+        cell_px,
+        params.max_points,
+    )
+
+    # L3: visibility (trackdlo_node.cpp:254-360).
+    vis = compute_visibility(
+        state.y,
+        pc.points,
+        pc.mask,
+        proj,
+        state.geodesic_coord,
+        intr.height,
+        intr.width,
+        params.visibility_threshold,
+        params.dlo_pixel_width,
+        params.d_vis,
+    )
+
+    # L4a: guide nodes = Y at extended-visible indices (trackdlo.cpp:913-921),
+    # pre-registered by the GLTP pass (trackdlo.cpp:925-927).
+    iota = jnp.arange(m)
+    guide0 = state.y[vis.vis_ext_idx]
+    guide_node_mask = iota < vis.vis_ext_count
+    guide0 = jnp.where(guide_node_mask[:, None], guide0, 0.0)
+    pre = cpd_lle(
+        pc.points,
+        pc.mask,
+        guide0,
+        guide_node_mask,
+        state.sigma2,  # copied, not persisted (trackdlo.cpp:925)
+        CpdParams(
+            beta=params.beta_pre_proc,
+            lam=params.lambda_pre_proc,
+            lle_weight=params.lle_weight,
+            mu=params.mu,
+            max_iter=params.max_iter,
+            tol=params.tol,
+            include_lle=True,
+            prune_radius=params.prune_radius,
+            visibility_threshold=params.visibility_threshold,
+        ),
+    )
+    guide_nodes = pre.y
+
+    # L4b: occlusion dispatch + prior walks (trackdlo.cpp:929-995).
+    priors = correspondence_priors(
+        state.y,
+        state.geodesic_coord,
+        guide_nodes,
+        vis.vis_ext_idx,
+        vis.vis_ext_count,
+        vis.vis_idx,
+        vis.vis_count,
+    )
+
+    # L4c: main EM (trackdlo.cpp:997-998).
+    main = cpd_lle(
+        pc.points,
+        pc.mask,
+        state.y,
+        jnp.ones((m,), bool),
+        state.sigma2,
+        CpdParams(
+            beta=params.beta,
+            lam=params.lam,
+            lle_weight=params.lle_weight,
+            mu=params.mu,
+            max_iter=params.max_iter,
+            tol=params.tol,
+            include_lle=False,
+            alpha=params.alpha,
+            k_vis=params.k_vis,
+            visibility_threshold=params.visibility_threshold,
+            prune_radius=params.prune_radius,
+            use_priors=True,
+            use_visibility=True,
+        ),
+        prior_pos=priors.prior_pos,
+        prior_mask=priors.prior_mask,
+        visible_count=vis.vis_ext_count,
+    )
+
+    new_state = TrackerState(
+        y=main.y, sigma2=main.sigma2, geodesic_coord=state.geodesic_coord
+    )
+    outputs = StepOutputs(
+        y=main.y,
+        sigma2=main.sigma2,
+        guide_nodes=guide_nodes,
+        guide_count=vis.vis_ext_count,
+        prior_pos=priors.prior_pos,
+        prior_mask=priors.prior_mask,
+        occlusion_state=priors.state,
+        visible_mask=vis.visible_mask,
+        extended_mask=vis.extended_mask,
+        not_self_occluded=vis.not_self_occluded,
+        points=pc.points,
+        points_mask=pc.mask,
+        n_points=pc.count,
+        converged=main.converged,
+        iterations=main.iterations,
+    )
+    return new_state, outputs
+
+
+def build_step_fn(params: TrackerParams, intr: CameraIntrinsics, jit: bool = True):
+    """Build the per-frame step callable
+    ``(state, rgb u8[H,W,3], depth u16[H,W], occ bool[H,W]) → (state, outputs)``.
+
+    Hyperparameters are baked in as compile-time constants (the reference
+    reads them from the rosparam server once at startup,
+    trackdlo_node.cpp:539-562)."""
+    cell_px = params.downsample_cell_px or default_cell_px(
+        params.downsample_leaf_size, intr.fx
+    )
+    fn = functools.partial(_step_impl, params=params, intr=intr, cell_px=cell_px)
+    if jit:
+        fn = jax.jit(fn, donate_argnums=(0,))
+    return fn
+
+
+class Tracker:
+    """Framework-agnostic tracking API (replaces the ROS node surface).
+
+    Usage::
+
+        tracker = Tracker(live_params(), CameraIntrinsics())
+        state = tracker.init_from_frame(rgb, depth)     # or init_from_nodes
+        for rgb, depth in frames:
+            state, out = tracker.step(state, rgb, depth)
+    """
+
+    def __init__(self, params: TrackerParams, intrinsics: CameraIntrinsics):
+        self.params = params
+        self.intrinsics = intrinsics
+        self._step = build_step_fn(params, intrinsics)
+        self._full_occ = None
+
+    def init_from_nodes(self, nodes) -> TrackerState:
+        nodes = np.asarray(nodes, np.float32)
+        if nodes.shape != (self.params.num_of_nodes, 3):
+            raise ValueError(
+                f"expected ({self.params.num_of_nodes}, 3) nodes, got {nodes.shape}"
+            )
+        return init_state(nodes, self.params)
+
+    def init_from_frame(self, rgb, depth) -> TrackerState:
+        """First-frame initialization: skeleton extraction + spline fit
+        (initialize.py path), falling back to GMM cold-start registration
+        (utils.cpp:21-82) when the skeleton is degenerate."""
+        from trackdlo_tpu.dlo_init import initialize_nodes
+
+        nodes = initialize_nodes(
+            np.asarray(rgb),
+            np.asarray(depth),
+            self.params,
+            self.intrinsics,
+        )
+        return self.init_from_nodes(nodes)
+
+    def step(self, state: TrackerState, rgb, depth, occlusion_mask=None):
+        if occlusion_mask is None:
+            if self._full_occ is None:
+                self._full_occ = jnp.ones(
+                    (self.intrinsics.height, self.intrinsics.width), bool
+                )
+            occ = self._full_occ
+        else:
+            occ = jnp.asarray(np.asarray(occlusion_mask) != 0)
+            if occ.ndim == 3:
+                occ = occ.any(axis=-1)
+        return self._step(state, jnp.asarray(rgb), jnp.asarray(depth), occ)

@@ -1,0 +1,153 @@
+"""Per-frame preprocessing as fused dense image ops.
+
+TPU-native redesign of the reference's mask → deproject → downsample chain
+(trackdlo_node.cpp:155-243):
+
+- HSV conversion + inRange happen as elementwise f32 math over the whole
+  frame (fusable into one HBM pass; the frame never leaves the device);
+- depth deprojection is elementwise with the pinhole intrinsics
+  (trackdlo_node.cpp:211-229);
+- the PCL voxel-grid downsample (trackdlo_node.cpp:236-241) becomes
+  image-cell pooling: the image is tiled into c×c pixel cells and each cell
+  emits the centroid of its masked pixels. At the operating depth a cell of
+  c ≈ leaf·fx/z covers the same footprint as a voxel leaf, and the rope is a
+  camera-facing surface, so cells ≈ voxels without any scatter/sort over a
+  million pixels (gathers/scatters are the one thing this chain must avoid on
+  TPU). Centroids then compact into a fixed-capacity point set by a single
+  small argsort over cells.
+
+Zero-depth pixels are excluded from pooling: the reference deprojects them to
+the camera origin and later drops that cluster via the EM's 0.1 m prune
+(trackdlo.cpp:177-195); excluding them up front is equivalent and keeps cell
+centroids unpolluted.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PointCloud(NamedTuple):
+    points: jnp.ndarray  # (N_cap, 3)
+    mask: jnp.ndarray  # (N_cap,)
+    count: jnp.ndarray  # ()
+
+
+def rgb_to_hsv_cv(rgb: jnp.ndarray) -> jnp.ndarray:
+    """OpenCV-convention HSV (H in [0,180), S/V in [0,255]) from uint8 RGB.
+
+    Float re-derivation of cv2.cvtColor(..., COLOR_RGB2HSV); agrees with
+    OpenCV away from rounding boundaries (the oracle uses cv2 itself).
+    """
+    rgbf = rgb.astype(jnp.float32)
+    r, g, b = rgbf[..., 0], rgbf[..., 1], rgbf[..., 2]
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    delta = v - mn
+    delta_safe = jnp.where(delta == 0, 1.0, delta)
+    s = jnp.where(v > 0, delta * 255.0 / jnp.where(v == 0, 1.0, v), 0.0)
+    h = jnp.where(
+        v == r,
+        60.0 * (g - b) / delta_safe,
+        jnp.where(
+            v == g,
+            120.0 + 60.0 * (b - r) / delta_safe,
+            240.0 + 60.0 * (r - g) / delta_safe,
+        ),
+    )
+    h = jnp.where(delta == 0, 0.0, h)
+    h = jnp.where(h < 0, h + 360.0, h) / 2.0
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _in_range(hsv, lower, upper):
+    lo = jnp.asarray(lower, jnp.float32)
+    hi = jnp.asarray(upper, jnp.float32)
+    return jnp.all((hsv >= lo) & (hsv <= hi), axis=-1)
+
+
+def segment_mask(
+    rgb: jnp.ndarray,
+    hsv_lower,
+    hsv_upper,
+    multi_color_dlo: bool,
+) -> jnp.ndarray:
+    """DLO segmentation (trackdlo_node.cpp:161-167; multi-colour bands from
+    color_thresholding, trackdlo_node.cpp:88-119)."""
+    hsv = rgb_to_hsv_cv(rgb)
+    if not multi_color_dlo:
+        return _in_range(hsv, hsv_lower, hsv_upper)
+    return (
+        _in_range(hsv, (90, 90, 60), (130, 255, 255))
+        | _in_range(hsv, (130, 60, 50), (255, 255, 255))
+        | _in_range(hsv, (0, 60, 50), (10, 255, 255))
+        | _in_range(hsv, (15, 100, 80), (40, 255, 255))
+    )
+
+
+def preprocess_frame(
+    rgb: jnp.ndarray,
+    depth: jnp.ndarray,
+    occlusion_mask: jnp.ndarray,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    hsv_lower,
+    hsv_upper,
+    multi_color_dlo: bool,
+    cell_px: int,
+    max_points: int,
+) -> PointCloud:
+    """mask → deproject → cell-pool → compact, fully fused.
+
+    ``occlusion_mask`` is (H, W) boolean (True = keep), the device-side twin
+    of /mask_with_occlusion (trackdlo_node.cpp:172-180).
+    """
+    h, w = depth.shape
+    mask = segment_mask(rgb, hsv_lower, hsv_upper, multi_color_dlo)
+    mask = mask & occlusion_mask
+    z = depth.astype(jnp.float32) / 1000.0
+    mask = mask & (z > 0)
+
+    us = jnp.arange(w, dtype=jnp.float32)[None, :]
+    vs = jnp.arange(h, dtype=jnp.float32)[:, None]
+    px = (us - cx) * z / fx
+    py = (vs - cy) * z / fy
+
+    maskf = mask.astype(jnp.float32)
+    # Pad to a multiple of the cell size (padded pixels carry zero mask).
+    ph = (-h) % cell_px
+    pw = (-w) % cell_px
+    if ph or pw:
+        maskf = jnp.pad(maskf, ((0, ph), (0, pw)))
+    ch, cw = (h + ph) // cell_px, (w + pw) // cell_px
+
+    def pool(img):
+        if ph or pw:
+            img = jnp.pad(img, ((0, ph), (0, pw)))
+        tiles = (img * maskf).reshape(ch, cell_px, cw, cell_px)
+        return tiles.sum(axis=(1, 3)).reshape(-1)
+
+    counts = maskf.reshape(ch, cell_px, cw, cell_px).sum(axis=(1, 3)).reshape(-1)
+    denom = jnp.maximum(counts, 1.0)
+    cells = jnp.stack([pool(px) / denom, pool(py) / denom, pool(z) / denom], axis=1)
+    cell_valid = counts > 0
+
+    # Compact valid cells into the fixed-capacity point set (ascending cell
+    # index among valid cells; EM results are point-order invariant).
+    n_cells = cells.shape[0]
+    keys = jnp.where(cell_valid, jnp.arange(n_cells, dtype=jnp.int32), n_cells)
+    order = jnp.argsort(keys)[:max_points]
+    points = cells[order]
+    valid = cell_valid[order]
+    points = jnp.where(valid[:, None], points, 0.0)
+    return PointCloud(points=points, mask=valid, count=jnp.sum(valid.astype(jnp.int32)))
+
+
+def default_cell_px(leaf_size: float, fx: float, z_ref: float = 0.65) -> int:
+    """Cell size whose footprint at z_ref matches the voxel leaf."""
+    return max(2, int(round(leaf_size * fx / z_ref)))
