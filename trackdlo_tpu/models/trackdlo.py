@@ -74,6 +74,7 @@ def _step_impl(
     params: TrackerParams,
     intr: CameraIntrinsics,
     cell_px: int,
+    model_axis: str | None = None,
 ):
     m = params.num_of_nodes
     proj = jnp.asarray(np.array(intr.proj_matrix(), np.float32))
@@ -108,6 +109,21 @@ def _step_impl(
         params.d_vis,
     )
 
+    # Points-axis sharding (sequence-parallel EM): under shard_map, each
+    # model-axis rank keeps its slice of the point set; preprocessing and
+    # visibility above are replicated (cheap), the EM loops below reduce over
+    # points with psum/pmin collectives riding ICI.
+    if model_axis is not None:
+        n_shards = jax.lax.axis_size(model_axis)
+        rank = jax.lax.axis_index(model_axis)
+        chunk = params.max_points // n_shards
+        start = rank * chunk
+        em_points = jax.lax.dynamic_slice(pc.points, (start, 0), (chunk, 3))
+        em_mask = jax.lax.dynamic_slice(pc.mask, (start,), (chunk,))
+    else:
+        em_points = pc.points
+        em_mask = pc.mask
+
     # L4a: guide nodes = Y at extended-visible indices (trackdlo.cpp:913-921),
     # pre-registered by the GLTP pass (trackdlo.cpp:925-927).
     iota = jnp.arange(m)
@@ -115,8 +131,8 @@ def _step_impl(
     guide_node_mask = iota < vis.vis_ext_count
     guide0 = jnp.where(guide_node_mask[:, None], guide0, 0.0)
     pre = cpd_lle(
-        pc.points,
-        pc.mask,
+        em_points,
+        em_mask,
         guide0,
         guide_node_mask,
         state.sigma2,  # copied, not persisted (trackdlo.cpp:925)
@@ -131,6 +147,7 @@ def _step_impl(
             prune_radius=params.prune_radius,
             visibility_threshold=params.visibility_threshold,
         ),
+        axis_name=model_axis,
     )
     guide_nodes = pre.y
 
@@ -147,8 +164,8 @@ def _step_impl(
 
     # L4c: main EM (trackdlo.cpp:997-998).
     main = cpd_lle(
-        pc.points,
-        pc.mask,
+        em_points,
+        em_mask,
         state.y,
         jnp.ones((m,), bool),
         state.sigma2,
@@ -170,6 +187,7 @@ def _step_impl(
         prior_pos=priors.prior_pos,
         prior_mask=priors.prior_mask,
         visible_count=vis.vis_ext_count,
+        axis_name=model_axis,
     )
 
     new_state = TrackerState(

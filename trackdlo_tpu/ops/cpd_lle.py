@@ -119,6 +119,7 @@ def cpd_lle(
     prior_pos: jnp.ndarray | None = None,
     prior_mask: jnp.ndarray | None = None,
     visible_count: jnp.ndarray | None = None,
+    axis_name: str | None = None,
 ) -> CpdResult:
     """EM registration of the (masked) node chain to the (masked) point set.
 
@@ -131,13 +132,20 @@ def cpd_lle(
       index (the reference's J selector and Y_extended, trackdlo.cpp:240-260);
     - ``visible_count``: number of extended-visible nodes; drives the
       visibility-prior gate (trackdlo.cpp:358).
+
+    ``axis_name``: when run under shard_map with the point axis sharded
+    across a mesh axis of this name, every over-points reduction (point
+    counts, P1, PX, σ² traces, nearest-point distances) becomes a psum/pmin
+    collective over that axis; node-space state stays replicated. This is the
+    sequence-parallel scaling path for large clouds (SURVEY.md §5).
     """
     # On TPU, f32 matmuls default to bf16 MXU passes; the EM's solves and
     # trace updates need full f32 (the compute here is negligible — the tensors
     # are tiny — so there is no speed to win from bf16).
     with jax.default_matmul_precision("highest"):
         return _cpd_lle_impl(
-            x, x_mask, y, node_mask, sigma2, params, prior_pos, prior_mask, visible_count
+            x, x_mask, y, node_mask, sigma2, params, prior_pos, prior_mask,
+            visible_count, axis_name,
         )
 
 
@@ -151,10 +159,18 @@ def _cpd_lle_impl(
     prior_pos: jnp.ndarray | None = None,
     prior_mask: jnp.ndarray | None = None,
     visible_count: jnp.ndarray | None = None,
+    axis_name: str | None = None,
 ) -> CpdResult:
     dtype = y.dtype
     m = y.shape[0]
     d = 3
+
+    if axis_name is None:
+        psum = lambda v: v
+        pmin = lambda v: v
+    else:
+        psum = lambda v: jax.lax.psum(v, axis_name)
+        pmin = lambda v: jax.lax.pmin(v, axis_name)
 
     v_count = jnp.sum(node_mask.astype(jnp.int32))
     y0 = y
@@ -164,7 +180,7 @@ def _cpd_lle_impl(
     sq_d0 = pairwise_sq_dists(y0, x)  # (M, N)
     sq_d0_nodesafe = jnp.where(node_mask[:, None], sq_d0, _BIG)
     x_mask = x_mask & (jnp.min(sq_d0_nodesafe, axis=0) < params.prune_radius**2)
-    n_count = jnp.sum(x_mask.astype(dtype))
+    n_count = psum(jnp.sum(x_mask.astype(dtype)))
     n_safe = jnp.maximum(n_count, 1.0)
 
     # Geodesic coordinates + MCT kernel over the valid prefix
@@ -202,7 +218,7 @@ def _cpd_lle_impl(
 
     # sigma2 == 0 → initialize from mean squared distance (trackdlo.cpp:271-273).
     masked_sq_d0 = jnp.where(x_mask[None, :] & node_mask[:, None], sq_d0, 0.0)
-    sigma2_init = jnp.sum(masked_sq_d0) / (d * jnp.maximum(v_count, 1) * n_safe)
+    sigma2_init = psum(jnp.sum(masked_sq_d0)) / (d * jnp.maximum(v_count, 1) * n_safe)
     sigma2 = jnp.where(sigma2 == 0, sigma2_init, sigma2)
 
     pair_valid = node_mask[:, None] & x_mask[None, :]
@@ -215,7 +231,7 @@ def _cpd_lle_impl(
         # Nearest-point distance per node, zeroed within the visibility
         # threshold (trackdlo.cpp:279-296).
         sq_d_pts = jnp.where(x_mask[None, :], sq_d, _BIG)
-        shortest = jnp.sqrt(jnp.min(sq_d_pts, axis=1))
+        shortest = jnp.sqrt(pmin(jnp.min(sq_d_pts, axis=1)))
         shortest = jnp.where(shortest <= params.visibility_threshold, 0.0, shortest)
 
         # E-step (trackdlo.cpp:298-301).
@@ -238,10 +254,10 @@ def _cpd_lle_impl(
         p = p / (jnp.sum(p, axis=0, keepdims=True) + c_eff)
         p = jnp.where(pair_valid, p, 0.0)
 
-        pt1 = jnp.sum(p, axis=0)  # (N,)
-        p1 = jnp.sum(p, axis=1)  # (M,)
+        pt1 = jnp.sum(p, axis=0)  # (N,) — per point, stays local
+        p1 = psum(jnp.sum(p, axis=1))  # (M,) — over points
         np_total = jnp.sum(p1)
-        px = p @ x  # (M, 3)
+        px = psum(p @ x)  # (M, 3) — over points
 
         # M-step (trackdlo.cpp:392-415).
         a_mat = p1[:, None] * g + params.lam * s2 * eye
@@ -262,8 +278,8 @@ def _cpd_lle_impl(
         t = y0 + g @ w
 
         # σ² from traces (trackdlo.cpp:417-422).
-        tr_xtdpt1x = jnp.sum(pt1[:, None] * x * x)
-        tr_pxtt = jnp.sum(px * t)
+        tr_xtdpt1x = psum(jnp.sum(pt1[:, None] * x * x))
+        tr_pxtt = jnp.sum(px * t)  # px already global, t replicated
         tr_ttdp1t = jnp.sum(p1[:, None] * t * t)
         s2_new = (tr_xtdpt1x - 2 * tr_pxtt + tr_ttdp1t) / (np_total * d)
         # Robustness guard shared with the oracle (sigma2 <= 0 on noise-free
