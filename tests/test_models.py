@@ -1,0 +1,52 @@
+"""Model-family tests: GLTP and plain CPD registration."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trackdlo_tpu.config import CameraIntrinsics, live_params
+from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
+from trackdlo_tpu.models.cpd import register_gmm
+from trackdlo_tpu.models.gltp import GltpTracker
+from trackdlo_tpu.oracle.cpd_lle import register_cold_start
+from trackdlo_tpu.oracle.geometry import sort_pts
+
+
+class TestGltp:
+    def test_tracks_unoccluded(self):
+        params = live_params()
+        intr = CameraIntrinsics()
+        rope = SyntheticRope()
+        tracker = GltpTracker(params, intr)
+        state = tracker.init_from_nodes(rope.nodes(0.0, params.M))
+        for i in range(1, 4):
+            rgb, depth = render_frame(rope, i / 15.0, intr)
+            state, res = tracker.step(state, rgb, depth)
+        gt = rope.nodes(3 / 15.0, params.M)
+        err = np.linalg.norm(np.asarray(state.y) - gt, axis=1).mean()
+        assert err < 0.01
+
+
+class TestCpdRegister:
+    def test_matches_oracle(self, rope_cloud):
+        ref_y, ref_s2 = register_cold_start(rope_cloud, 40, mu=0.05, max_iter=60)
+        n_cap = 512
+        xp = np.zeros((n_cap, 3), np.float32)
+        xp[: len(rope_cloud)] = rope_cloud
+        xm = np.zeros(n_cap, bool)
+        xm[: len(rope_cloud)] = True
+        y, s2 = register_gmm(jnp.asarray(xp), jnp.asarray(xm), m=40, mu=0.05, max_iter=60)
+        err = np.linalg.norm(np.asarray(y) - ref_y, axis=1)
+        assert err.max() < 1e-3
+        assert abs(float(s2) - ref_s2) < 1e-5
+
+    def test_registered_then_sorted_is_a_chain(self, rope_cloud):
+        n_cap = 512
+        xp = np.zeros((n_cap, 3), np.float32)
+        xp[: len(rope_cloud)] = rope_cloud
+        xm = np.zeros(n_cap, bool)
+        xm[: len(rope_cloud)] = True
+        y, _ = register_gmm(jnp.asarray(xp), jnp.asarray(xm), m=40)
+        chain = sort_pts(np.asarray(y, float))
+        seg = np.linalg.norm(np.diff(chain, axis=0), axis=1)
+        assert seg.max() < 5 * np.median(seg)

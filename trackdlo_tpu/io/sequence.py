@@ -20,6 +20,10 @@ from trackdlo_tpu.config import CameraIntrinsics
 # V>=30 under OpenCV conventions): pure-ish blue with a slight green tint.
 _ROPE_RGB = np.array([30, 60, 200], dtype=np.uint8)
 _BG_RGB = np.array([120, 120, 120], dtype=np.uint8)
+# Tape-marker colours for the evaluation rope (the reference's ground truth
+# comes from red/yellow tape blobs, evaluator.cpp:153-231).
+_MARKER_RED = np.array([220, 30, 30], dtype=np.uint8)
+_MARKER_YELLOW = np.array([230, 200, 40], dtype=np.uint8)
 
 
 @dataclasses.dataclass
@@ -70,11 +74,14 @@ def render_frame(
     rope_pixel_radius: int = 9,
     depth_noise_mm: float = 0.0,
     seed: int = 0,
+    markers: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Render an aligned RGB-D frame of the rope.
 
     Returns (rgb uint8 HxWx3, depth uint16 HxW millimetres). Background depth
-    is 0 (no return), like unmatched RealSense pixels.
+    is 0 (no return), like unmatched RealSense pixels. With ``markers`` > 0,
+    that many alternating red/yellow tape bands are painted at uniform arc
+    length (the evaluation rope of the reference, evaluator.cpp:153-231).
     """
     intr = intrinsics or CameraIntrinsics()
     h, w = intr.height, intr.width
@@ -85,6 +92,16 @@ def render_frame(
     pts = rope.curve(t)
     us = pts[:, 0] / pts[:, 2] * intr.fx + intr.cx
     vs = pts[:, 1] / pts[:, 2] * intr.fy + intr.cy
+
+    colors = np.broadcast_to(_ROPE_RGB, (len(pts), 3)).copy()
+    if markers:
+        seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+        arc = np.concatenate([[0.0], np.cumsum(seg)])
+        band_centers = np.linspace(0.0, arc[-1], markers + 2)[1:-1]
+        band_halfwidth = 0.008  # 8 mm tape bands
+        for k, center in enumerate(band_centers):
+            sel = np.abs(arc - center) <= band_halfwidth
+            colors[sel] = _MARKER_RED if k % 2 == 0 else _MARKER_YELLOW
 
     # Rasterize the curve as overlapping discs (nearest-depth wins).
     zbuf = np.full((h, w), np.inf)
@@ -101,7 +118,7 @@ def render_frame(
         closer = z < zbuf[vv, uu]
         uu, vv = uu[closer], vv[closer]
         zbuf[vv, uu] = z
-        rgb[vv, uu] = _ROPE_RGB
+        rgb[vv, uu] = colors[k]
         depth[vv, uu] = np.uint16(round(z * 1000.0))
 
     if depth_noise_mm > 0:
