@@ -1,0 +1,127 @@
+"""Pallas fused-E-step tests (interpret mode on CPU; compiled on TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trackdlo_tpu.io.sequence import SyntheticRope
+from trackdlo_tpu.ops.cpd_lle import CpdParams, cpd_lle
+from trackdlo_tpu.ops.pallas_kernels import fused_estep, nearest_point_sq
+
+N_CAP = 512
+
+
+def _pack(x, n_cap=N_CAP):
+    out = np.zeros((n_cap, 3), np.float32)
+    out[: len(x)] = x
+    mask = np.zeros(n_cap, bool)
+    mask[: len(x)] = True
+    return jnp.asarray(out), jnp.asarray(mask)
+
+
+@pytest.fixture(scope="module")
+def nodes():
+    return SyntheticRope().nodes(0.0, 45).astype(np.float32)
+
+
+class TestNearestPoint:
+    def test_matches_dense(self, rope_cloud, nodes):
+        xj, xm = _pack(rope_cloud)
+        got = np.asarray(
+            nearest_point_sq(jnp.asarray(nodes), jnp.ones(45, bool), xj, xm,
+                             interpret=True)
+        )
+        ref = (
+            ((nodes[:, None, :] - np.asarray(rope_cloud)[None, :, :].astype(np.float32)) ** 2)
+            .sum(-1)
+            .min(axis=1)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-9)
+
+
+class TestFusedEstep:
+    def _reference_estep(self, x, x_mask, y, sigma2, c, c_vis, gate, p_vis, coord):
+        """Dense replica of the XLA em_iteration E-step."""
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        m, n = len(y), len(x)
+        sq = ((y[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+        pair = np.outer(np.ones(m), x_mask).astype(bool)
+        p = np.where(pair, np.exp(-0.5 * sq / sigma2), 0.0)
+        p = p / (p.sum(0) + c)
+        mp = np.argmax(p, axis=0)
+        cand1 = np.where(mp - 1 == -1, 2, mp - 1)
+        cand2 = np.where(mp + 1 == m, m - 3, mp + 1)
+        cols = np.arange(n)
+        nxt = np.where(sq[cand1, cols] < sq[cand2, cols], cand1, cand2)
+        lo, hi = np.minimum(mp, nxt), np.maximum(mp, nxt)
+        d_lo, d_hi = np.sqrt(sq[lo, cols]), np.sqrt(sq[hi, cols])
+        j = np.arange(m)[:, None]
+        below = (np.abs(coord[:, None] - coord[lo][None, :]) + d_lo[None, :]) ** 2
+        above = (np.abs(coord[:, None] - coord[hi][None, :]) + d_hi[None, :]) ** 2
+        sqg = np.where(
+            j < lo[None, :], below,
+            np.where(j >= hi[None, :], above,
+                     np.where(j == lo[None, :], d_lo[None, :] ** 2, 0.0)),
+        )
+        p = np.where(pair, np.exp(-0.5 * sqg / sigma2), 0.0)
+        if gate:
+            p = p * p_vis[:, None]
+            p = p / (p.sum(0) + c_vis)
+        else:
+            p = p / (p.sum(0) + c)
+        p = np.where(pair, p, 0.0)
+        pt1 = p.sum(0)
+        return (
+            p.sum(1),
+            p @ x,
+            p.sum(),
+            (pt1 * (x * x).sum(1)).sum(),
+        )
+
+    @pytest.mark.parametrize("gate", [False, True])
+    def test_matches_reference(self, rope_cloud, nodes, gate):
+        xj, xm = _pack(rope_cloud)
+        coord = np.concatenate(
+            [[0], np.cumsum(np.linalg.norm(np.diff(nodes, axis=0), axis=1))]
+        ).astype(np.float32)
+        sigma2, mu = 1e-3, 0.1
+        n = len(rope_cloud)
+        c_base = (2 * np.pi * sigma2) ** 1.5 * mu / (1 - mu)
+        c = c_base * 45 / n
+        c_vis = c_base / n
+        rng = np.random.default_rng(0)
+        p_vis = rng.uniform(0.5, 1.5, 45).astype(np.float32)
+        p_vis /= p_vis.sum()
+
+        p1, px, np_tot, tr_x, short = fused_estep(
+            jnp.asarray(nodes), jnp.ones(45, bool), jnp.asarray(coord),
+            xj, xm,
+            jnp.asarray(sigma2, jnp.float32), jnp.asarray(c, jnp.float32),
+            jnp.asarray(c_vis, jnp.float32),
+            jnp.asarray(1.0 if gate else 0.0, jnp.float32),
+            jnp.asarray(p_vis), jnp.asarray(45, jnp.int32),
+            interpret=True,
+        )
+        rp1, rpx, rnp, rtr = self._reference_estep(
+            rope_cloud, np.ones(n, bool), nodes, sigma2, c, c_vis, gate, p_vis, coord
+        )
+        np.testing.assert_allclose(np.asarray(p1), rp1, rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(px), rpx, rtol=2e-4, atol=1e-6)
+        assert float(np_tot) == pytest.approx(rnp, rel=1e-4)
+        assert float(tr_x) == pytest.approx(rtr, rel=1e-4)
+
+    def test_full_em_with_pallas_matches_xla(self, rope_cloud, nodes):
+        xj, xm = _pack(rope_cloud)
+        base = dict(beta=0.35, lam=50000.0, lle_weight=10.0, mu=0.1,
+                    max_iter=50, tol=0.0002, include_lle=False,
+                    k_vis=50.0, visibility_threshold=0.008, use_visibility=True)
+        y = jnp.asarray(nodes)
+        s2 = jnp.asarray(0.001, jnp.float32)
+        vc = jnp.asarray(30, jnp.int32)
+        r_xla = cpd_lle(xj, xm, y, jnp.ones(45, bool), s2,
+                        CpdParams(**base), visible_count=vc)
+        r_pal = cpd_lle(xj, xm, y, jnp.ones(45, bool), s2,
+                        CpdParams(**base, use_pallas=True), visible_count=vc)
+        err = np.abs(np.asarray(r_xla.y) - np.asarray(r_pal.y)).max()
+        assert err < 1e-4, err

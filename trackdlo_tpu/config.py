@@ -98,6 +98,10 @@ class TrackerParams:
     lle_k: int = 6
     # Initial sigma^2 after node initialization (trackdlo_node.cpp:133).
     sigma2_init: float = 0.001
+    # Fused Pallas E-step: None = auto (enabled for dense clouds,
+    # max_points >= 16384, where streaming the point axis through VMEM beats
+    # the XLA path ~9x on v5e); True/False forces it.
+    use_pallas_estep: bool | None = None
 
     @property
     def M(self) -> int:

@@ -78,6 +78,11 @@ def _step_impl(
 ):
     m = params.num_of_nodes
     proj = jnp.asarray(np.array(intr.proj_matrix(), np.float32))
+    use_pallas = (
+        params.use_pallas_estep
+        if params.use_pallas_estep is not None
+        else params.max_points >= 16384
+    )
 
     # L2: preprocessing (trackdlo_node.cpp:155-243).
     pc = preprocess_frame(
@@ -146,6 +151,7 @@ def _step_impl(
             include_lle=True,
             prune_radius=params.prune_radius,
             visibility_threshold=params.visibility_threshold,
+            use_pallas=use_pallas,
         ),
         axis_name=model_axis,
     )
@@ -183,6 +189,7 @@ def _step_impl(
             prune_radius=params.prune_radius,
             use_priors=True,
             use_visibility=True,
+            use_pallas=use_pallas,
         ),
         prior_pos=priors.prior_pos,
         prior_mask=priors.prior_mask,

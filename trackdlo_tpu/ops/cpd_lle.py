@@ -49,6 +49,11 @@ class CpdParams:
     prune_radius: float = 0.1
     use_priors: bool = False
     use_visibility: bool = False
+    # Use the fused Pallas E-step (ops/pallas_kernels.py): streams the point
+    # axis through VMEM, never materializing the (M, N) affinity in HBM.
+    # The bandwidth win appears for dense clouds (N >~ 10k); numerics match
+    # the XLA path. TPU only (other backends fall back automatically).
+    use_pallas: bool = False
 
 
 class CpdResult(NamedTuple):
@@ -292,13 +297,70 @@ def _cpd_lle_impl(
         delta = move / jnp.maximum(v_count, 1)
         return t, s2_new, delta
 
+    def em_iteration_pallas(y_cur, s2):
+        """Fused-kernel variant of em_iteration: identical math, but the
+        (M, N) affinity never leaves VMEM (ops/pallas_kernels.py)."""
+        from trackdlo_tpu.ops.pallas_kernels import fused_estep, nearest_point_sq
+
+        interpret = jax.default_backend() != "tpu"
+        c_base = (_TWO_PI * s2) ** (d / 2) * params.mu / (1 - params.mu)
+        c = c_base * v_count.astype(dtype) / n_safe
+        c_vis = c_base / n_safe
+
+        if params.use_visibility and params.k_vis != 0:
+            shortest = jnp.sqrt(
+                pmin(nearest_point_sq(y_cur, node_mask, x, x_mask, interpret=interpret))
+            )
+            shortest = jnp.where(
+                shortest <= params.visibility_threshold, 0.0, shortest
+            )
+            p_vis = jnp.where(node_mask, jnp.exp(-params.k_vis * shortest), 0.0)
+            p_vis = p_vis / jnp.maximum(jnp.sum(p_vis), 1e-30)
+        else:
+            p_vis = jnp.ones((m,), dtype)
+
+        gate_f = jnp.where(vis_gate, 1.0, 0.0).astype(dtype)
+        p1, px, np_local, tr_local, _ = fused_estep(
+            y_cur, node_mask, node_coord, x, x_mask,
+            s2, c, c_vis, gate_f, p_vis, v_count,
+            interpret=interpret,
+        )
+        p1 = psum(p1)
+        px = psum(px)
+        np_total = psum(np_local)
+        tr_xtdpt1x = psum(tr_local)
+
+        a_mat = p1[:, None] * g + params.lam * s2 * eye
+        b_mat = px - p1[:, None] * y0
+        if params.include_lle:
+            a_mat = a_mat + s2 * params.lle_weight * hg
+            b_mat = b_mat - s2 * params.lle_weight * hy0
+        if params.use_priors:
+            a_mat = a_mat + params.alpha * jg
+            b_mat = b_mat + params.alpha * prior_disp
+        a_mat = jnp.where(pair_mask, a_mat, eye)
+        b_mat = jnp.where(node_mask[:, None], b_mat, 0.0)
+        w = jnp.linalg.solve(a_mat, b_mat)
+        t = y0 + g @ w
+
+        tr_pxtt = jnp.sum(px * t)
+        tr_ttdp1t = jnp.sum(p1[:, None] * t * t)
+        s2_new = (tr_xtdpt1x - 2 * tr_pxtt + tr_ttdp1t) / (np_total * d)
+        s2_new = jnp.maximum(s2_new, 1e-10)
+
+        move = jnp.sum(jnp.where(node_mask, jnp.linalg.norm(y_cur - t, axis=1), 0.0))
+        delta = move / jnp.maximum(v_count, 1)
+        return t, s2_new, delta
+
+    iteration = em_iteration_pallas if params.use_pallas else em_iteration
+
     def cond(carry):
         _, _, it, done, _ = carry
         return (~done) & (it < params.max_iter)
 
     def body(carry):
         y_cur, s2, it, _, _ = carry
-        t, s2_new, delta = em_iteration(y_cur, s2)
+        t, s2_new, delta = iteration(y_cur, s2)
         done = delta < params.tol
         converged = done | (it + 1 < params.max_iter)
         return t, s2_new, it + 1, done, converged

@@ -1,0 +1,289 @@
+"""Pallas TPU kernels: the fused EM E-step.
+
+The EM's per-iteration hot path materializes several (M, N) intermediates
+(squared distances, two exponentiated affinity matrices, the geodesic
+re-distance matrix — trackdlo.cpp:279-383). For dense clouds that is the
+bandwidth bottleneck: each intermediate is an HBM round trip.
+
+This kernel streams the point axis through VMEM in tiles and fuses the whole
+E-step — distances → normalize → geodesic re-distance → visibility prior →
+normalize → M-step reductions — emitting only the O(M) outputs:
+
+    P1 (M,), PX (M, 3), Np, tr(Xᵀ diag(Pt1) X), and per-node nearest-point
+    squared distance.
+
+P itself never exists in HBM. The column-wise normalizer makes the tiling
+exact (each point's denominator is a within-tile column sum — the reason
+blockwise accumulation works, SURVEY.md §5).
+
+Layout: points are passed transposed (3, N) so the long axis sits on lanes;
+M sits on sublanes padded to the f32 tile (8, 128) granularity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+_BIG = 1e5
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _first_argmax_rows(p: jnp.ndarray, m_pad: int) -> jnp.ndarray:
+    """First row index attaining the column max (Eigen maxCoeff semantics,
+    trackdlo.cpp:310), without gather ops: max + compare + min-index."""
+    mx = jnp.max(p, axis=0, keepdims=True)
+    rows = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+    return jnp.min(jnp.where(p == mx, rows, m_pad), axis=0)
+
+
+def _select_row(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """values[(idx[j], j)] per column j via one-hot reduction (gathers along
+    sublanes are not TPU-friendly)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, values.shape, 0)
+    return jnp.sum(jnp.where(rows == idx[None, :], values, 0.0), axis=0)
+
+
+def _estep_kernel(
+    scalars_ref,  # SMEM (6,): sigma2, c, c_vis, vis_gate, v_count, n_tiles
+    y_ref,  # (m_pad, 3)
+    coord_ref,  # (m_pad, 1) geodesic coords (masked-frozen)
+    node_mask_ref,  # (m_pad, 1) f32 0/1
+    p_vis_ref,  # (m_pad, 1) normalized visibility weights
+    xt_ref,  # (3, T) tile of transposed points
+    x_mask_ref,  # (1, T) f32 0/1
+    p1_ref,  # out (m_pad, 1)
+    px_ref,  # out (m_pad, 3)
+    scal_out_ref,  # out (1, 2): np_total, tr_xtdpt1x
+    short_ref,  # out (m_pad, 1): min squared node-point distance
+):
+    t = pl.program_id(0)
+    m_pad = y_ref.shape[0]
+
+    sigma2 = scalars_ref[0]
+    c_plain = scalars_ref[1]
+    c_vis = scalars_ref[2]
+    vis_gate = scalars_ref[3]
+    v_count = scalars_ref[4].astype(jnp.int32)
+
+    node_mask = node_mask_ref[:, 0]  # (m_pad,)
+    x_mask = x_mask_ref[0, :]  # (T,)
+    pair = node_mask[:, None] * x_mask[None, :]
+
+    # Squared distances (m_pad, T).
+    sq = jnp.zeros((m_pad, xt_ref.shape[1]), jnp.float32)
+    for d in range(3):
+        diff = y_ref[:, d][:, None] - xt_ref[d, :][None, :]
+        sq += diff * diff
+
+    # Per-node nearest point (for the visibility prior of the NEXT call and
+    # the node-level visibility check).
+    sq_masked = jnp.where(pair > 0, sq, _BIG)
+    tile_min = jnp.min(sq_masked, axis=1, keepdims=True)
+
+    @pl.when(t == 0)
+    def _init():
+        p1_ref[:] = jnp.zeros_like(p1_ref)
+        px_ref[:] = jnp.zeros_like(px_ref)
+        scal_out_ref[:] = jnp.zeros_like(scal_out_ref)
+        short_ref[:] = jnp.full_like(short_ref, _BIG)
+
+    short_ref[:] = jnp.minimum(short_ref[:], tile_min)
+
+    # First normalization (trackdlo.cpp:298-301).
+    p = jnp.exp(-0.5 * sq / sigma2) * pair
+    p = p / (jnp.sum(p, axis=0, keepdims=True) + c_plain)
+
+    # Geodesic re-distance (trackdlo.cpp:303-351), fully in-register.
+    mp = _first_argmax_rows(jnp.where(pair > 0, p, -1.0), m_pad)
+    cand1 = jnp.where(mp - 1 == -1, 2, mp - 1)
+    cand2 = jnp.where(mp + 1 == v_count, v_count - 3, mp + 1)
+    sq_c1 = _select_row(sq, cand1)
+    sq_c2 = _select_row(sq, cand2)
+    nxt = jnp.where(sq_c1 < sq_c2, cand1, cand2)
+    lo = jnp.minimum(mp, nxt)
+    hi = jnp.maximum(mp, nxt)
+    d_lo = jnp.sqrt(_select_row(sq, lo))
+    d_hi = jnp.sqrt(_select_row(sq, hi))
+    coord = coord_ref[:, 0]
+    c_lo = _select_row(
+        jnp.broadcast_to(coord[:, None], sq.shape), lo
+    )
+    c_hi = _select_row(
+        jnp.broadcast_to(coord[:, None], sq.shape), hi
+    )
+    rows = jax.lax.broadcasted_iota(jnp.int32, sq.shape, 0)
+    below = (jnp.abs(coord[:, None] - c_lo[None, :]) + d_lo[None, :]) ** 2
+    above = (jnp.abs(coord[:, None] - c_hi[None, :]) + d_hi[None, :]) ** 2
+    sq_geo = jnp.where(
+        rows < lo[None, :],
+        below,
+        jnp.where(
+            rows >= hi[None, :],
+            above,
+            jnp.where(rows == lo[None, :], (d_lo**2)[None, :], 0.0),
+        ),
+    )
+
+    # Second pass + optional visibility prior (trackdlo.cpp:354-383).
+    p = jnp.exp(-0.5 * sq_geo / sigma2) * pair
+    p = p * (1.0 + vis_gate * (p_vis_ref[:, 0][:, None] - 1.0))
+    c_eff = c_plain + vis_gate * (c_vis - c_plain)
+    pt1_den = jnp.sum(p, axis=0, keepdims=True) + c_eff
+    p = p / pt1_den
+    p = p * pair
+
+    # M-step reductions (trackdlo.cpp:386-390, 417-421).
+    p1_ref[:] += jnp.sum(p, axis=1, keepdims=True)
+    px_ref[:] += jax.lax.dot_general(
+        p, xt_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    pt1 = jnp.sum(p, axis=0)
+    xsq = jnp.sum(xt_ref[:] * xt_ref[:], axis=0)
+    # Full-block accumulate (scalar stores to VMEM are not supported).
+    scal_out_ref[:] = scal_out_ref[:] + jnp.stack(
+        [jnp.sum(pt1), jnp.sum(pt1 * xsq)]
+    ).reshape(1, 2)
+
+
+def _nearest_kernel(y_ref, node_mask_ref, xt_ref, x_mask_ref, out_ref):
+    t = pl.program_id(0)
+    m_pad = y_ref.shape[0]
+    node_mask = node_mask_ref[:, 0]
+    x_mask = x_mask_ref[0, :]
+    sq = jnp.zeros((m_pad, xt_ref.shape[1]), jnp.float32)
+    for d in range(3):
+        diff = y_ref[:, d][:, None] - xt_ref[d, :][None, :]
+        sq += diff * diff
+    sq = jnp.where((node_mask[:, None] * x_mask[None, :]) > 0, sq, _BIG)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.full_like(out_ref, _BIG)
+
+    out_ref[:] = jnp.minimum(out_ref[:], jnp.min(sq, axis=1, keepdims=True))
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def nearest_point_sq(
+    y: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    x: jnp.ndarray,
+    x_mask: jnp.ndarray,
+    tile_n: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(M,) min squared distance from each node to the masked point set —
+    one streaming pass, nothing materialized (trackdlo.cpp:279-296)."""
+    m = y.shape[0]
+    n = x.shape[0]
+    m_pad = _round_up(m, 8)
+    n_pad = _round_up(n, tile_n)
+    yp = jnp.zeros((m_pad, 3), jnp.float32).at[:m].set(y)
+    nmp = jnp.zeros((m_pad, 1), jnp.float32).at[:m, 0].set(node_mask.astype(jnp.float32))
+    xt = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(x.T)
+    xmp = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(x_mask.astype(jnp.float32))
+    out = pl.pallas_call(
+        _nearest_kernel,
+        grid=(n_pad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((m_pad, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
+        interpret=interpret,
+    )(yp, nmp, xt, xmp)
+    return out[:m, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_n", "interpret")
+)
+def fused_estep(
+    y: jnp.ndarray,  # (M, 3)
+    node_mask: jnp.ndarray,  # (M,) bool
+    node_coord: jnp.ndarray,  # (M,)
+    x: jnp.ndarray,  # (N, 3)
+    x_mask: jnp.ndarray,  # (N,) bool
+    sigma2: jnp.ndarray,
+    c_plain: jnp.ndarray,
+    c_vis: jnp.ndarray,
+    vis_gate: jnp.ndarray,
+    p_vis: jnp.ndarray,  # (M,) normalized visibility weights
+    v_count: jnp.ndarray,
+    tile_n: int = 512,
+    interpret: bool = False,
+):
+    """Fused E-step: returns (p1 (M,), px (M,3), np_total, tr_xtdpt1x,
+    shortest_sq (M,))."""
+    m = y.shape[0]
+    n = x.shape[0]
+    m_pad = _round_up(m, 8)
+    n_pad = _round_up(n, tile_n)
+
+    yp = jnp.zeros((m_pad, 3), jnp.float32).at[:m].set(y)
+    coordp = jnp.zeros((m_pad, 1), jnp.float32).at[:m, 0].set(node_coord)
+    nmp = jnp.zeros((m_pad, 1), jnp.float32).at[:m, 0].set(node_mask.astype(jnp.float32))
+    pvp = jnp.ones((m_pad, 1), jnp.float32).at[:m, 0].set(p_vis)
+    xt = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(x.T)
+    xmp = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(x_mask.astype(jnp.float32))
+
+    scalars = jnp.stack(
+        [
+            sigma2.astype(jnp.float32),
+            c_plain.astype(jnp.float32),
+            c_vis.astype(jnp.float32),
+            vis_gate.astype(jnp.float32),
+            v_count.astype(jnp.float32),
+            jnp.asarray(n_pad // tile_n, jnp.float32),
+        ]
+    )
+
+    grid = (n_pad // tile_n,)
+    p1, px, scal, short = pl.pallas_call(
+        _estep_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((m_pad, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((m_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scalars, yp, coordp, nmp, pvp, xt, xmp)
+
+    return (
+        p1[:m, 0],
+        px[:m],
+        scal[0, 0],
+        scal[0, 1],
+        short[:m, 0],
+    )
