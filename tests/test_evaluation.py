@@ -153,3 +153,68 @@ class TestRunner:
         assert len(result.errors) == 4
         # Marker GT is sparse (12 bands) but errors stay small.
         assert result.mean_error < 0.01
+
+
+class TestSweep:
+    def test_occlusion_sweep_parallel(self, setup):
+        from trackdlo_tpu.evaluation.sweep import occlusion_sweep
+
+        params, intr, rope = setup
+        frames, gt = [], []
+        for i in range(5):
+            t = i / 15.0
+            frames.append(render_frame(rope, t, intr))
+            gt.append(rope.nodes(t, params.M))
+        pcts, errors = occlusion_sweep(
+            params, intr, frames, np.array(gt), gt[0],
+            pct_values=(0, 30, 60), occlude_from_frame=1,
+        )
+        assert errors.shape == (3, 5)
+        # Unoccluded trial tracks tightly; occlusion degrades gracefully.
+        assert errors[0, -1] < 0.006
+        assert errors[2, -1] < 0.05
+        assert errors[2].mean() >= errors[0].mean() - 1e-4
+
+
+class TestConfigLoader:
+    def test_reference_param_names(self, tmp_path):
+        import json
+
+        from trackdlo_tpu.config import params_from_json
+
+        data = {
+            "beta": 0.5,
+            "lambda": 50000,
+            "alpha": 3,
+            "mu": 0.1,
+            "max_iter": 50,
+            "tol": 0.0002,
+            "k_vis": 500,
+            "d_vis": 0.06,
+            "visibility_threshold": 0.005,
+            "dlo_pixel_width": 30,
+            "beta_pre_proc": 3.0,
+            "lambda_pre_proc": 1.0,
+            "lle_weight": 10.0,
+            "downsample_leaf_size": 0.005,
+            "multi_color_dlo": True,
+            "num_of_nodes": 40,
+            "hsv_threshold_upper_limit": "130 255 255",
+            "hsv_threshold_lower_limit": "90 90 30",
+        }
+        p = tmp_path / "cfg.json"
+        p.write_text(json.dumps(data))
+        params = params_from_json(str(p))
+        assert params.lam == 50000
+        assert params.hsv_lower == (90, 90, 30)
+        assert params.num_of_nodes == 40
+        # Matches the shipped eval preset.
+        from trackdlo_tpu.config import eval_params
+
+        assert params == eval_params()
+
+    def test_unknown_key_raises(self):
+        from trackdlo_tpu.config import params_from_dict
+
+        with pytest.raises(KeyError):
+            params_from_dict({"nonsense": 1})

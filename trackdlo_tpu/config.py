@@ -108,6 +108,46 @@ class TrackerParams:
         return self.num_of_nodes
 
 
+def params_from_dict(data: dict) -> TrackerParams:
+    """Build params from a plain dict (the rosparam-server role of the
+    reference's launch files, trackdlo_node.cpp:539-562).
+
+    Accepts the reference's parameter names, including its space-delimited
+    HSV bound strings ("90 90 30") and `lambda` (a Python keyword, mapped to
+    `lam`). Unknown keys raise.
+    """
+    import dataclasses as _dc
+
+    field_names = {f.name for f in _dc.fields(TrackerParams)}
+    aliases = {"lambda": "lam", "lle_weight": "lle_weight"}
+    out = {}
+    for key, value in data.items():
+        key = aliases.get(key, key)
+        if key in ("hsv_threshold_lower_limit", "hsv_lower"):
+            key = "hsv_lower"
+            if isinstance(value, str):
+                value = tuple(int(v) for v in value.split())
+            else:
+                value = tuple(value)
+        elif key in ("hsv_threshold_upper_limit", "hsv_upper"):
+            key = "hsv_upper"
+            if isinstance(value, str):
+                value = tuple(int(v) for v in value.split())
+            else:
+                value = tuple(value)
+        if key not in field_names:
+            raise KeyError(f"unknown tracker parameter {key!r}")
+        out[key] = value
+    return dataclasses.replace(TrackerParams(), **out)
+
+
+def params_from_json(path: str) -> TrackerParams:
+    import json
+
+    with open(path) as f:
+        return params_from_dict(json.load(f))
+
+
 def live_params(**overrides) -> TrackerParams:
     """The reference's live profile (launch/trackdlo.launch:27-59)."""
     return dataclasses.replace(TrackerParams(), **overrides)

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from trackdlo_tpu.ops.kernels import (
+    gaussian_kernel,
     lle_regularizer,
     masked_geodesic_coords,
     mct_kernel,
@@ -54,6 +55,13 @@ class CpdParams:
     # The bandwidth win appears for dense clouds (N >~ 10k); numerics match
     # the XLA path. TPU only (other backends fall back automatically).
     use_pallas: bool = False
+    # Kernel family: "mct_geodesic" (the reference C++, trackdlo.cpp:233) or
+    # the prototype's "gaussian_geodesic" / "gaussian_euclidean"
+    # (tracking_test.py:288-305).
+    kernel: str = "mct_geodesic"
+    # The prototype's pure-Euclidean mode skips the geodesic membership
+    # rewrite and keeps a single normalization (tracking_test.py:344-383).
+    use_geodesic_redistance: bool = True
 
 
 class CpdResult(NamedTuple):
@@ -193,7 +201,15 @@ def _cpd_lle_impl(
     node_coord = masked_geodesic_coords(y0, node_mask)
     node_dis = jnp.abs(node_coord[:, None] - node_coord[None, :])
     pair_mask = node_mask[:, None] & node_mask[None, :]
-    g = jnp.where(pair_mask, mct_kernel(node_dis, params.beta), 0.0)
+    if params.kernel == "mct_geodesic":
+        g_raw = mct_kernel(node_dis, params.beta)
+    elif params.kernel == "gaussian_geodesic":
+        g_raw = gaussian_kernel(node_dis, params.beta)
+    elif params.kernel == "gaussian_euclidean":
+        g_raw = gaussian_kernel(jnp.sqrt(pairwise_sq_dists(y0, y0)), params.beta)
+    else:
+        raise ValueError(f"unknown kernel {params.kernel!r}")
+    g = jnp.where(pair_mask, g_raw, 0.0)
 
     if params.include_lle:
         h = lle_regularizer(y0, node_mask)
@@ -245,19 +261,22 @@ def _cpd_lle_impl(
         c = c_base * v_count.astype(dtype) / n_safe
         p = p / (jnp.sum(p, axis=0, keepdims=True) + c)
 
-        # Geodesic re-distancing (trackdlo.cpp:303-354).
-        sq_geo = _geodesic_redistance(p, sq_d, y_cur, x, node_coord, node_mask, v_count)
-        p = jnp.where(pair_valid, jnp.exp(-0.5 * sq_geo / s2), 0.0)
+        if params.use_geodesic_redistance:
+            # Geodesic re-distancing (trackdlo.cpp:303-354).
+            sq_geo = _geodesic_redistance(
+                p, sq_d, y_cur, x, node_coord, node_mask, v_count
+            )
+            p = jnp.where(pair_valid, jnp.exp(-0.5 * sq_geo / s2), 0.0)
 
-        # Visibility-aware membership prior (trackdlo.cpp:357-383).
-        p_vis = jnp.where(node_mask, jnp.exp(-params.k_vis * shortest), 0.0)
-        p_vis = p_vis / jnp.maximum(jnp.sum(p_vis), 1e-30)
-        p_with_vis = p * p_vis[:, None]
-        c_vis = c_base / n_safe
-        p = jnp.where(vis_gate, p_with_vis, p)
-        c_eff = jnp.where(vis_gate, c_vis, c)
-        p = p / (jnp.sum(p, axis=0, keepdims=True) + c_eff)
-        p = jnp.where(pair_valid, p, 0.0)
+            # Visibility-aware membership prior (trackdlo.cpp:357-383).
+            p_vis = jnp.where(node_mask, jnp.exp(-params.k_vis * shortest), 0.0)
+            p_vis = p_vis / jnp.maximum(jnp.sum(p_vis), 1e-30)
+            p_with_vis = p * p_vis[:, None]
+            c_vis = c_base / n_safe
+            p = jnp.where(vis_gate, p_with_vis, p)
+            c_eff = jnp.where(vis_gate, c_vis, c)
+            p = p / (jnp.sum(p, axis=0, keepdims=True) + c_eff)
+            p = jnp.where(pair_valid, p, 0.0)
 
         pt1 = jnp.sum(p, axis=0)  # (N,) — per point, stays local
         p1 = psum(jnp.sum(p, axis=1))  # (M,) — over points

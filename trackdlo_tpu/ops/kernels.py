@@ -49,6 +49,11 @@ def mct_kernel(node_dis: jnp.ndarray, beta: float) -> jnp.ndarray:
     )
 
 
+def gaussian_kernel(node_dis: jnp.ndarray, beta: float) -> jnp.ndarray:
+    """Gaussian kernel G = exp(−d²/2β²) (tracking_test.py:290, 305)."""
+    return jnp.exp(-(node_dis * node_dis) / (2 * beta * beta))
+
+
 def chain_lle_weights(y: jnp.ndarray, node_mask: jnp.ndarray, k: int = 6) -> jnp.ndarray:
     """LLE reconstruction weights over the chain, batched over nodes.
 

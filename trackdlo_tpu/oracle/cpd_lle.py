@@ -37,6 +37,12 @@ def mct_kernel(node_dis: np.ndarray, beta: float) -> np.ndarray:
     )
 
 
+def gaussian_kernel(node_dis: np.ndarray, beta: float) -> np.ndarray:
+    """Gaussian kernel G = exp(−d²/2β²) — the NumPy prototype's variant
+    (tracking_test.py:290, 305), applicable to Euclidean or geodesic d."""
+    return np.exp(-np.square(node_dis) / (2 * beta**2))
+
+
 def geodesic_redistance(
     p: np.ndarray,
     y: np.ndarray,
@@ -102,6 +108,8 @@ def cpd_lle(
     k_vis: float = 0.0,
     visibility_threshold: float = 0.01,
     prune_radius: float = 0.1,
+    kernel: str = "mct_geodesic",
+    use_geodesic_redistance: bool = True,
 ) -> CpdLleResult:
     """EM registration of M chain nodes to N points (trackdlo.cpp:161-441).
 
@@ -124,11 +132,20 @@ def cpd_lle(
     d = 3
     y0 = y.copy()
 
-    # Geodesic node coordinates and the MCT kernel (trackdlo.cpp:216-233).
+    # Geodesic node coordinates and the kernel matrix (trackdlo.cpp:216-233;
+    # Gaussian variants from tracking_test.py:288-305).
     seg = np.linalg.norm(np.diff(y0, axis=0), axis=1)
     node_coord = np.concatenate([[0.0], np.cumsum(seg)])
     node_dis = np.abs(node_coord[:, None] - node_coord[None, :])
-    g = mct_kernel(node_dis, beta)
+    if kernel == "mct_geodesic":
+        g = mct_kernel(node_dis, beta)
+    elif kernel == "gaussian_geodesic":
+        g = gaussian_kernel(node_dis, beta)
+    elif kernel == "gaussian_euclidean":
+        euclid = np.sqrt(np.sum((y0[:, None, :] - y0[None, :, :]) ** 2, axis=2))
+        g = gaussian_kernel(euclid, beta)
+    else:
+        raise ValueError(f"unknown kernel {kernel!r}")
 
     # LLE matrix (trackdlo.cpp:236-237).
     l_mat = calc_lle_weights(6, y0)
@@ -173,18 +190,21 @@ def cpd_lle(
         c = (2 * np.pi * sigma2) ** (d / 2) * mu / (1 - mu) * m / n
         p = p / (p.sum(axis=0)[None, :] + c)
 
-        # Geodesic re-distancing (trackdlo.cpp:303-354).
-        pts_dis_sq_geo = geodesic_redistance(p, y, x, node_coord)
-        p = np.exp(-0.5 * pts_dis_sq_geo / sigma2)
+        # Geodesic re-distancing (trackdlo.cpp:303-354); the prototype's
+        # pure-Euclidean mode (tracking_test.py use_geodesic=False) skips it
+        # and keeps the single normalization above.
+        if use_geodesic_redistance:
+            pts_dis_sq_geo = geodesic_redistance(p, y, x, node_coord)
+            p = np.exp(-0.5 * pts_dis_sq_geo / sigma2)
 
-        # Visibility-aware membership prior (trackdlo.cpp:357-383).
-        if use_vis:
-            p_vis_node = np.exp(-k_vis * shortest)
-            p = p * (p_vis_node / p_vis_node.sum())[:, None]
-            c = (2 * np.pi * sigma2) ** (d / 2) * mu / (1 - mu) / n
-            p = p / (p.sum(axis=0)[None, :] + c)
-        else:
-            p = p / (p.sum(axis=0)[None, :] + c)
+            # Visibility-aware membership prior (trackdlo.cpp:357-383).
+            if use_vis:
+                p_vis_node = np.exp(-k_vis * shortest)
+                p = p * (p_vis_node / p_vis_node.sum())[:, None]
+                c = (2 * np.pi * sigma2) ** (d / 2) * mu / (1 - mu) / n
+                p = p / (p.sum(axis=0)[None, :] + c)
+            else:
+                p = p / (p.sum(axis=0)[None, :] + c)
 
         pt1 = p.sum(axis=0)
         p1 = p.sum(axis=1)

@@ -48,6 +48,105 @@ def _pursuit_step(
     return False, -1, cur_center
 
 
+def traverse_geodesic(
+    geodesic_coord: np.ndarray,
+    guide_nodes: np.ndarray,
+    visible_nodes: list[int],
+    alignment: int,
+) -> np.ndarray:
+    """Older cumulative-segment-distance prior generator
+    (trackdlo.cpp:444-582; still compiled in the reference but only invoked
+    from commented-out call sites at trackdlo.cpp:963-978 — kept as part of
+    the algorithm surface).
+
+    Walks guide segments accumulating their chord length and places a node
+    whenever the accumulated rest arc length catches up, interpolating
+    linearly inside the current guide segment.
+    """
+    geodesic_coord = np.asarray(geodesic_coord, dtype=float)
+    guide_nodes = np.asarray(guide_nodes, dtype=float)
+    n_guide = len(guide_nodes)
+
+    def pair(idx, pos):
+        return np.array([float(idx), pos[0], pos[1], pos[2]])
+
+    if n_guide == 1:
+        return np.array([pair(visible_nodes[0], guide_nodes[0])])
+
+    pairs: list[np.ndarray] = []
+    guide_total = 0.0
+    seg_total = 0.0
+
+    if alignment == 0:
+        pairs.append(pair(visible_nodes[0], guide_nodes[0]))
+        g_it = 0
+        s_it = 0
+        last_s_it = s_it
+        while (
+            g_it + 1 <= n_guide - 1
+            and visible_nodes[g_it + 1] - visible_nodes[g_it] == 1
+            and s_it + 1 <= len(geodesic_coord) - 1
+        ):
+            guide_total += pt2pt_dis(guide_nodes[g_it], guide_nodes[g_it + 1])
+            while guide_total > seg_total:
+                if s_it == len(geodesic_coord) - 1:
+                    break
+                step = abs(geodesic_coord[s_it] - geodesic_coord[s_it + 1])
+                seg_total += step
+                if seg_total <= guide_total:
+                    s_it += 1
+                else:
+                    seg_total -= step
+                    break
+            if s_it == len(geodesic_coord) - 1:
+                break
+            if g_it == 0 and s_it == 0:
+                continue
+            if last_s_it == s_it:
+                g_it += 1
+                continue
+            seg_len = pt2pt_dis(guide_nodes[g_it], guide_nodes[g_it + 1])
+            remaining = seg_total - (guide_total - seg_len)
+            offset = (guide_nodes[g_it + 1] - guide_nodes[g_it]) * remaining / seg_len
+            pairs.append(pair(s_it, guide_nodes[g_it] + offset))
+            g_it += 1
+            last_s_it = s_it
+    else:
+        pairs.append(pair(visible_nodes[-1], guide_nodes[-1]))
+        g_it = n_guide - 1
+        s_it = len(geodesic_coord) - 1
+        last_s_it = s_it
+        while (
+            g_it - 1 >= 0
+            and visible_nodes[g_it] - visible_nodes[g_it - 1] == 1
+            and s_it - 1 >= 0
+        ):
+            guide_total += pt2pt_dis(guide_nodes[g_it], guide_nodes[g_it - 1])
+            while guide_total > seg_total:
+                if s_it == 0:
+                    break
+                step = abs(geodesic_coord[s_it] - geodesic_coord[s_it - 1])
+                seg_total += step
+                if seg_total <= guide_total:
+                    s_it -= 1
+                else:
+                    seg_total -= step
+                    break
+            if s_it == 0:
+                break
+            if last_s_it == s_it:
+                g_it -= 1
+                continue
+            seg_len = pt2pt_dis(guide_nodes[g_it], guide_nodes[g_it - 1])
+            remaining = seg_total - (guide_total - seg_len)
+            offset = (guide_nodes[g_it - 1] - guide_nodes[g_it]) * remaining / seg_len
+            pairs.insert(0, pair(s_it, guide_nodes[g_it] + offset))
+            g_it -= 1
+            last_s_it = s_it
+
+    return np.array(pairs)
+
+
 def traverse_euclidean(
     geodesic_coord: np.ndarray,
     guide_nodes: np.ndarray,
