@@ -163,10 +163,11 @@ class TestEndToEnd:
             os_, _, _ = step_frame(os_, rgb, depth, params, intr)
             err = np.linalg.norm(np.asarray(js.y) - os_.y, axis=1).mean()
             worst = max(worst, err)
-        # ~1 mm EM parity (test_cpd_parity) + cell-vs-voxel downsample noise.
-        # TODO(round perf): two-stage fine-cell → voxel-snap downsample to
-        # shrink this toward the pure-EM 1e-3 budget.
-        assert worst < 3e-3, worst
+        # ~1 mm EM parity (test_cpd_parity) + residual two-stage-downsample
+        # noise and closed-loop f32 compounding. Single-stage cell pooling
+        # (exact_voxels=False) sits at ~2.6 mm; the voxel-snap stage brings
+        # this under 2 mm.
+        assert worst < 2e-3, worst
 
     def test_state_is_checkpointable(self, setup):
         """State is an explicit pytree: save/restore mid-sequence and results

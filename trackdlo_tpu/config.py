@@ -94,6 +94,11 @@ class TrackerParams:
     # Image-cell size (pixels) for the on-device cell-pooling downsample;
     # None derives it from downsample_leaf_size and the camera intrinsics.
     downsample_cell_px: int | None = None
+    # Two-stage downsample: pool fine image cells (~half a leaf) then snap
+    # their centroids to 3-D voxel bins — near-exact PCL VoxelGrid semantics
+    # on device at the cost of one small argsort. False = single-stage cell
+    # pooling (fastest, slightly coarser parity).
+    exact_voxels: bool = True
     # LLE chain neighbourhood size k (trackdlo.cpp:236 hardcodes 6).
     lle_k: int = 6
     # Initial sigma^2 after node initialization (trackdlo_node.cpp:133).

@@ -84,7 +84,9 @@ def _step_impl(
         else params.max_points >= 16384
     )
 
-    # L2: preprocessing (trackdlo_node.cpp:155-243).
+    # L2: preprocessing (trackdlo_node.cpp:155-243). With exact_voxels the
+    # cell size halves and centroids snap to 3-D voxel bins (two-stage).
+    eff_cell = max(2, cell_px // 2) if params.exact_voxels else cell_px
     pc = preprocess_frame(
         rgb,
         depth,
@@ -96,8 +98,9 @@ def _step_impl(
         params.hsv_lower,
         params.hsv_upper,
         params.multi_color_dlo,
-        cell_px,
+        eff_cell,
         params.max_points,
+        voxel_leaf=params.downsample_leaf_size if params.exact_voxels else None,
     )
 
     # L3: visibility (trackdlo_node.cpp:254-360).

@@ -88,6 +88,46 @@ def segment_mask(
     )
 
 
+def voxel_snap(
+    points: jnp.ndarray,
+    weights: jnp.ndarray,
+    leaf: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Weighted centroid per voxel over a fixed-capacity candidate set.
+
+    Second stage of the two-stage downsample: candidates (fine-cell
+    centroids with pixel counts as weights) snap to floor(p/leaf) voxel bins,
+    recovering PCL VoxelGrid semantics (trackdlo_node.cpp:236-241) up to
+    cells that straddle voxel boundaries. Cost: one argsort + segment sums
+    over the candidate capacity (small), never over pixels.
+    """
+    c = points.shape[0]
+    inv = 1.0 / leaf
+    ijk = jnp.floor(points * inv).astype(jnp.int32)
+    valid = weights > 0
+    # Re-base to the frame's occupied extent so the key fits 30 bits under
+    # JAX's default int32 (scenes beyond 1024 leaves/axis clamp — irrelevant
+    # at tracking scale).
+    ijk_min = jnp.min(jnp.where(valid[:, None], ijk, jnp.iinfo(jnp.int32).max), axis=0)
+    rel = jnp.clip(ijk - ijk_min, 0, (1 << 10) - 1)
+    key = rel[:, 0] * (1 << 20) + rel[:, 1] * (1 << 10) + rel[:, 2]
+    key = jnp.where(valid, key, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key)
+    key_s = key[order]
+    pts_s = points[order]
+    w_s = jnp.where(valid[order], weights[order], 0.0)
+
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]]
+    )
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    wsum = jax.ops.segment_sum(w_s, seg_id, num_segments=c)
+    psum = jax.ops.segment_sum(pts_s * w_s[:, None], seg_id, num_segments=c)
+    centroids = psum / jnp.maximum(wsum, 1.0)[:, None]
+    out_valid = wsum > 0
+    return jnp.where(out_valid[:, None], centroids, 0.0), out_valid
+
+
 def preprocess_frame(
     rgb: jnp.ndarray,
     depth: jnp.ndarray,
@@ -101,11 +141,15 @@ def preprocess_frame(
     multi_color_dlo: bool,
     cell_px: int,
     max_points: int,
+    voxel_leaf: float | None = None,
+    candidate_cap: int = 4096,
 ) -> PointCloud:
-    """mask → deproject → cell-pool → compact, fully fused.
+    """mask → deproject → cell-pool → [voxel-snap] → compact, fully fused.
 
     ``occlusion_mask`` is (H, W) boolean (True = keep), the device-side twin
-    of /mask_with_occlusion (trackdlo_node.cpp:172-180).
+    of /mask_with_occlusion (trackdlo_node.cpp:172-180). With ``voxel_leaf``
+    set, cell centroids additionally snap to voxel bins (two-stage
+    downsample; pass a fine ``cell_px`` ≈ half the voxel footprint).
     """
     h, w = depth.shape
     mask = segment_mask(rgb, hsv_lower, hsv_upper, multi_color_dlo)
@@ -137,14 +181,23 @@ def preprocess_frame(
     cells = jnp.stack([pool(px) / denom, pool(py) / denom, pool(z) / denom], axis=1)
     cell_valid = counts > 0
 
-    # Compact valid cells into the fixed-capacity point set (ascending cell
+    # Compact valid cells into a fixed-capacity candidate set (ascending cell
     # index among valid cells; EM results are point-order invariant).
     n_cells = cells.shape[0]
+    cap = candidate_cap if voxel_leaf is not None else max_points
     keys = jnp.where(cell_valid, jnp.arange(n_cells, dtype=jnp.int32), n_cells)
-    order = jnp.argsort(keys)[:max_points]
+    order = jnp.argsort(keys)[:cap]
     points = cells[order]
     valid = cell_valid[order]
     points = jnp.where(valid[:, None], points, 0.0)
+
+    if voxel_leaf is not None:
+        w = jnp.where(valid, counts[order], 0.0)
+        snapped, snap_valid = voxel_snap(points, w, voxel_leaf)
+        points = snapped[:max_points]
+        valid = snap_valid[:max_points]
+        points = jnp.where(valid[:, None], points, 0.0)
+
     return PointCloud(points=points, mask=valid, count=jnp.sum(valid.astype(jnp.int32)))
 
 
