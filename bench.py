@@ -3,9 +3,15 @@
 Measures the complete mask → deproject → downsample → visibility →
 pre-registration → priors → main-EM chain (the reference's whole per-frame
 callback) as one jitted graph on synthetic 720p RGB-D frames of a 45-node
-rope, batched across streams to fill the chip. Frames are staged on-device
-(double-buffered feed assumption; there are no host round-trips inside the
-per-frame graph).
+rope, batched across streams to fill the chip.
+
+Methodology (robust to async dispatch/remote-tunnel semantics):
+- steps are CHAINED (each consumes the previous state), so K steps cannot
+  overlap;
+- each timed run ends with a device→host fetch of the (M, 3) result, forcing
+  real completion;
+- per-step time is the SLOPE between a short and a long run, cancelling the
+  constant dispatch/fetch latency of tunnelled TPU backends.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
@@ -20,30 +26,12 @@ import time
 import numpy as np
 
 
-def build_inputs(batch, n_frames, params, intr):
+def _measure(batch, k_short=8, k_long=40):
+    import jax
     import jax.numpy as jnp
 
-    from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
-
-    rope = SyntheticRope()
-    frames = []
-    for t in range(n_frames):
-        rgbs, depths = [], []
-        for b in range(batch):
-            rgb, depth = render_frame(rope, (t + 1) / 15.0 + 0.003 * b, intr)
-            rgbs.append(rgb)
-            depths.append(depth)
-        frames.append(
-            (jnp.asarray(np.stack(rgbs)), jnp.asarray(np.stack(depths)))
-        )
-    occ = jnp.ones((batch, intr.height, intr.width), bool)
-    return rope, frames, occ
-
-
-def bench(batch=8, n_frames=4, iters=30, warmup=3):
-    import jax
-
     from trackdlo_tpu.config import CameraIntrinsics, live_params
+    from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
     from trackdlo_tpu.models.trackdlo import init_state
     from trackdlo_tpu.parallel.sharding import build_batched_step_fn, replicate_state
 
@@ -51,28 +39,58 @@ def bench(batch=8, n_frames=4, iters=30, warmup=3):
     intr = CameraIntrinsics()
     fn = build_batched_step_fn(params, intr)
 
-    rope, frames, occ = build_inputs(batch, n_frames, params, intr)
-    state0 = replicate_state(
-        init_state(rope.nodes(0.0, params.M), params), batch
+    rope = SyntheticRope()
+    n_frames = 4
+    frames = []
+    for t in range(n_frames):
+        rgbs, depths = [], []
+        for b in range(batch):
+            rgb, depth = render_frame(rope, (t + 1) / 15.0 + 0.003 * b, intr)
+            rgbs.append(rgb)
+            depths.append(depth)
+        frames.append((jnp.asarray(np.stack(rgbs)), jnp.asarray(np.stack(depths))))
+    occ = jnp.ones((batch, intr.height, intr.width), bool)
+    state0 = replicate_state(init_state(rope.nodes(0.0, params.M), params), batch)
+
+    def run(k):
+        # Fresh copy: the step donates its state argument.
+        state = jax.tree.map(lambda v: v.copy(), state0)
+        t0 = time.perf_counter()
+        for i in range(k):
+            rgb, depth = frames[i % n_frames]
+            state, _ = fn(state, rgb, depth, occ)
+        y_host = np.asarray(state.y)  # forces real completion
+        assert np.isfinite(y_host).all()
+        return time.perf_counter() - t0
+
+    run(2)  # compile + warm
+    t_short = run(k_short)
+    t_long = run(k_long)
+    per_step = (t_long - t_short) / (k_long - k_short)
+    per_step = max(per_step, 1e-6)
+    return batch / per_step, per_step * 1000.0
+
+
+def _measure_in_subprocess(batch, timeout_s=480):
+    """Run one measurement in a child process so a hung TPU tunnel cannot
+    wedge the whole benchmark."""
+    import subprocess
+
+    code = (
+        "import json, bench\n"
+        f"fps, ms = bench._measure({batch})\n"
+        "print('BENCH_RESULT ' + json.dumps([fps, ms]))\n"
     )
-
-    # Warmup / compile.
-    state = state0
-    for i in range(warmup):
-        rgb, depth = frames[i % n_frames]
-        state, _ = fn(state, rgb, depth, occ)
-    jax.block_until_ready(state)
-
-    state = jax.tree.map(lambda v: v.copy(), state)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        rgb, depth = frames[i % n_frames]
-        state, out = fn(state, rgb, depth, occ)
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
-
-    fps = batch * iters / dt
-    return fps, dt / iters
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=timeout_s,
+        cwd=__file__.rsplit("/", 1)[0] or ".",
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCH_RESULT "):
+            fps, ms = json.loads(line[len("BENCH_RESULT "):])
+            return fps, ms
+    raise RuntimeError(proc.stderr[-2000:])
 
 
 def main():
@@ -80,11 +98,13 @@ def main():
     detail = {}
     for batch in (1, 8):
         try:
-            fps, step_ms = bench(batch=batch)
-        except Exception as e:  # keep the bench robust on small hosts
-            print(f"batch={batch} failed: {e}", file=sys.stderr)
+            fps, step_ms = _measure_in_subprocess(batch)
+        except Exception as e:
+            print(f"batch={batch} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            detail[f"batch{batch}_error"] = type(e).__name__
             continue
         detail[f"batch{batch}_fps"] = round(fps, 1)
+        detail[f"batch{batch}_step_ms"] = round(step_ms, 3)
         best_fps = max(best_fps, fps)
 
     print(
