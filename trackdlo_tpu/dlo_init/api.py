@@ -42,13 +42,21 @@ def _resample_uniform(points: np.ndarray, m: int) -> np.ndarray:
 
 
 def skeleton_initialize(
-    rgb: np.ndarray, depth: np.ndarray, params, intrinsics
+    rgb: np.ndarray, depth: np.ndarray, params, intrinsics, debug_dir: str | None = None
 ) -> np.ndarray:
-    """Skeleton-based initialization (initialize.py:52-143)."""
+    """Skeleton-based initialization (initialize.py:52-143).
+
+    ``debug_dir``: when set, saves per-stage images (mask, skeleton, chains)
+    — the headless equivalent of the reference's
+    visualize_initialization_process windows (launch/trackdlo.launch:13,
+    utils.py:170-175).
+    """
     from trackdlo_tpu.dlo_init.skeleton import extract_connected_skeleton
 
     mask = segment_dlo(rgb, params.hsv_lower, params.hsv_upper, params.multi_color_dlo)
-    chains = extract_connected_skeleton(mask, seg_length=8, max_curvature=25)
+    chains = extract_connected_skeleton(
+        mask, seg_length=8, max_curvature=25, debug_dir=debug_dir
+    )
     coords = [c for chain in chains for c in chain]
     if len(coords) < 4:
         raise ValueError("skeleton extraction produced too few points")

@@ -308,17 +308,42 @@ def _merge_chains(chains):
     return ordered
 
 
+def _save_debug(debug_dir, name, img):
+    if debug_dir is None or cv2 is None:
+        return
+    import os
+
+    os.makedirs(debug_dir, exist_ok=True)
+    cv2.imwrite(os.path.join(debug_dir, name), img)
+
+
+def _chains_image(shape, chains):
+    img = np.zeros((shape[0], shape[1], 3), np.uint8)
+    rng = np.random.default_rng(0)
+    for chain in chains:
+        color = tuple(int(v) for v in rng.integers(55, 255, 3))
+        for i in range(len(chain) - 1):
+            cv2.line(img, tuple(chain[i]), tuple(chain[i + 1]), color, 1)
+    return img
+
+
 def extract_connected_skeleton(
-    mask: np.ndarray, seg_length: float = 8, max_curvature: float = 25
+    mask: np.ndarray,
+    seg_length: float = 8,
+    max_curvature: float = 25,
+    debug_dir: str | None = None,
 ):
     """mask (H, W) or (H, W, 3) uint8 → ordered pixel chains of (x, y)
-    coordinates (utils.py:160-453)."""
+    coordinates (utils.py:160-453). ``debug_dir`` saves per-stage images
+    (the visualize_initialization_process equivalent)."""
     if cv2 is None:
         raise RuntimeError("skeleton extraction requires OpenCV")
     if mask.ndim == 3:
         mask = mask.max(axis=-1)
     mask = _mode_filter(mask.astype(np.uint8))
+    _save_debug(debug_dir, "01_smoothed_mask.png", mask)
     skel = zhang_suen_skeletonize(mask)
+    _save_debug(debug_dir, "02_skeleton.png", skel)
     contours, _ = cv2.findContours(skel, cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE)[-2:]
 
     chains = []
@@ -326,8 +351,12 @@ def extract_connected_skeleton(
         chains.extend(_contour_to_chains(contour, seg_length, max_curvature))
     if not chains:
         raise ValueError("no chains extracted from skeleton")
+    _save_debug(debug_dir, "03_all_chains.png", _chains_image(mask.shape, chains))
 
     pruned = _prune_overlaps(chains)
     if not pruned:
         raise ValueError("all chains pruned away")
-    return _merge_chains(pruned)
+    _save_debug(debug_dir, "04_pruned_chains.png", _chains_image(mask.shape, pruned))
+    merged = _merge_chains(pruned)
+    _save_debug(debug_dir, "05_merged_chain.png", _chains_image(mask.shape, merged))
+    return merged
