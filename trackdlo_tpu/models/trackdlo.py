@@ -78,15 +78,19 @@ def _step_impl(
 ):
     m = params.num_of_nodes
     proj = jnp.asarray(np.array(intr.proj_matrix(), np.float32))
-    use_pallas = (
-        params.use_pallas_estep
-        if params.use_pallas_estep is not None
-        else params.max_points >= 16384
-    )
+    if params.use_pallas_estep is not None:
+        use_pallas = params.use_pallas_estep
+    else:
+        # Auto: the fused kernel wins on TPU at every size (one kernel per EM
+        # iteration vs ~15 launches, perf/stage_scan_bench.py); interpret
+        # mode on CPU is far slower than the XLA path, so stay off there.
+        use_pallas = jax.default_backend() != "cpu"
 
-    # L2: preprocessing (trackdlo_node.cpp:155-243). With exact_voxels the
-    # cell size halves and centroids snap to 3-D voxel bins (two-stage).
-    eff_cell = max(2, cell_px // 2) if params.exact_voxels else cell_px
+    # L2: preprocessing (trackdlo_node.cpp:155-243). With exact_voxels, cell
+    # centroids additionally snap to 3-D voxel bins (two-stage). Cells stay
+    # at the leaf footprint: halving them costs ~10x in the cell argsort on
+    # TPU for <0.1 mm of parity (perf/microbench.py).
+    eff_cell = cell_px
     pc = preprocess_frame(
         rgb,
         depth,

@@ -326,7 +326,10 @@ def _cpd_lle_impl(
         c = c_base * v_count.astype(dtype) / n_safe
         c_vis = c_base / n_safe
 
-        if params.use_visibility and params.k_vis != 0:
+        needs_vis = params.use_visibility and params.k_vis != 0
+        if needs_vis and axis_name is not None:
+            # Sharded path: nearest distances need a cross-shard pmin, so the
+            # visibility weights are derived outside the kernel.
             shortest = jnp.sqrt(
                 pmin(nearest_point_sq(y_cur, node_mask, x, x_mask, interpret=interpret))
             )
@@ -335,13 +338,21 @@ def _cpd_lle_impl(
             )
             p_vis = jnp.where(node_mask, jnp.exp(-params.k_vis * shortest), 0.0)
             p_vis = p_vis / jnp.maximum(jnp.sum(p_vis), 1e-30)
+            two_phase = False
         else:
-            p_vis = jnp.ones((m,), dtype)
+            # Single-device path: the kernel derives the visibility prior
+            # in-register from its own phase-0 min sweep — one kernel per
+            # EM iteration.
+            p_vis = None
+            two_phase = True
 
         gate_f = jnp.where(vis_gate, 1.0, 0.0).astype(dtype)
         p1, px, np_local, tr_local, _ = fused_estep(
             y_cur, node_mask, node_coord, x, x_mask,
             s2, c, c_vis, gate_f, p_vis, v_count,
+            k_vis=params.k_vis,
+            tau_vis=params.visibility_threshold,
+            two_phase=two_phase,
             interpret=interpret,
         )
         p1 = psum(p1)

@@ -53,11 +53,11 @@ def _select_row(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _estep_kernel(
-    scalars_ref,  # SMEM (6,): sigma2, c, c_vis, vis_gate, v_count, n_tiles
+    scalars_ref,  # SMEM (8,): sigma2, c, c_vis, vis_gate, v_count, k_vis, tau_vis, two_phase
     y_ref,  # (m_pad, 3)
     coord_ref,  # (m_pad, 1) geodesic coords (masked-frozen)
     node_mask_ref,  # (m_pad, 1) f32 0/1
-    p_vis_ref,  # (m_pad, 1) normalized visibility weights
+    p_vis_ref,  # (m_pad, 1) normalized visibility weights (1-phase mode)
     xt_ref,  # (3, T) tile of transposed points
     x_mask_ref,  # (1, T) f32 0/1
     p1_ref,  # out (m_pad, 1)
@@ -65,7 +65,17 @@ def _estep_kernel(
     scal_out_ref,  # out (1, 2): np_total, tr_xtdpt1x
     short_ref,  # out (m_pad, 1): min squared node-point distance
 ):
-    t = pl.program_id(0)
+    """Fused E-step tile. Grid is (phases, n_tiles):
+
+    - two_phase=1: phase 0 streams the tiles once accumulating the per-node
+      nearest-point distance into short_ref; phase 1 derives the visibility
+      prior in-register from short_ref (exp(-k_vis d), trackdlo.cpp:357-372)
+      and runs the full E-step. One kernel per EM iteration, nothing in HBM.
+    - two_phase=0 (single phase in grid): p_vis comes in via p_vis_ref
+      (the sharded path, where nearest distances need a cross-shard pmin).
+    """
+    phase = pl.program_id(0)
+    t = pl.program_id(1)
     m_pad = y_ref.shape[0]
 
     sigma2 = scalars_ref[0]
@@ -73,6 +83,9 @@ def _estep_kernel(
     c_vis = scalars_ref[2]
     vis_gate = scalars_ref[3]
     v_count = scalars_ref[4].astype(jnp.int32)
+    k_vis = scalars_ref[5]
+    tau_vis = scalars_ref[6]
+    two_phase = scalars_ref[7] > 0
 
     node_mask = node_mask_ref[:, 0]  # (m_pad,)
     x_mask = x_mask_ref[0, :]  # (T,)
@@ -84,19 +97,49 @@ def _estep_kernel(
         diff = y_ref[:, d][:, None] - xt_ref[d, :][None, :]
         sq += diff * diff
 
-    # Per-node nearest point (for the visibility prior of the NEXT call and
-    # the node-level visibility check).
     sq_masked = jnp.where(pair > 0, sq, _BIG)
     tile_min = jnp.min(sq_masked, axis=1, keepdims=True)
 
-    @pl.when(t == 0)
+    @pl.when((phase == 0) & (t == 0))
     def _init():
         p1_ref[:] = jnp.zeros_like(p1_ref)
         px_ref[:] = jnp.zeros_like(px_ref)
         scal_out_ref[:] = jnp.zeros_like(scal_out_ref)
         short_ref[:] = jnp.full_like(short_ref, _BIG)
 
-    short_ref[:] = jnp.minimum(short_ref[:], tile_min)
+    @pl.when(phase == 0)
+    def _accumulate_min():
+        short_ref[:] = jnp.minimum(short_ref[:], tile_min)
+
+    is_estep = jnp.logical_or(jnp.logical_not(two_phase), phase == 1)
+
+    @pl.when(is_estep)
+    def _estep():
+        _estep_tile(
+            sq, pair, node_mask_ref[:], sigma2, c_plain, c_vis, vis_gate,
+            v_count, k_vis, tau_vis, two_phase,
+            y_ref, coord_ref, p_vis_ref, xt_ref,
+            p1_ref, px_ref, scal_out_ref, short_ref,
+            m_pad,
+        )
+
+
+def _estep_tile(
+    sq, pair, node_mask_col, sigma2, c_plain, c_vis, vis_gate, v_count,
+    k_vis, tau_vis, two_phase,
+    y_ref, coord_ref, p_vis_ref, xt_ref,
+    p1_ref, px_ref, scal_out_ref, short_ref,
+    m_pad,
+):
+    # Visibility prior: derived in-register from the phase-0 minima
+    # (two-phase), or taken from the host-provided p_vis_ref. All math stays
+    # (m_pad, 1)-shaped: Mosaic only lowers sublane-axis reductions here.
+    shortest2 = jnp.sqrt(short_ref[:])  # (m_pad, 1)
+    shortest2 = jnp.where(shortest2 <= tau_vis, 0.0, shortest2)
+    pv2 = jnp.where(node_mask_col > 0, jnp.exp(-k_vis * shortest2), 0.0)
+    total = jnp.sum(pv2, axis=0, keepdims=True)  # (1, 1)
+    pv2 = pv2 / jnp.maximum(total, 1e-30)
+    p_vis = jnp.where(two_phase, pv2[:, 0], p_vis_ref[:, 0])
 
     # First normalization (trackdlo.cpp:298-301).
     p = jnp.exp(-0.5 * sq / sigma2) * pair
@@ -135,7 +178,7 @@ def _estep_kernel(
 
     # Second pass + optional visibility prior (trackdlo.cpp:354-383).
     p = jnp.exp(-0.5 * sq_geo / sigma2) * pair
-    p = p * (1.0 + vis_gate * (p_vis_ref[:, 0][:, None] - 1.0))
+    p = p * (1.0 + vis_gate * (p_vis[:, None] - 1.0))
     c_eff = c_plain + vis_gate * (c_vis - c_plain)
     pt1_den = jnp.sum(p, axis=0, keepdims=True) + c_eff
     p = p / pt1_den
@@ -210,7 +253,8 @@ def nearest_point_sq(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_n", "interpret")
+    jax.jit,
+    static_argnames=("k_vis", "tau_vis", "two_phase", "tile_n", "interpret"),
 )
 def fused_estep(
     y: jnp.ndarray,  # (M, 3)
@@ -222,13 +266,22 @@ def fused_estep(
     c_plain: jnp.ndarray,
     c_vis: jnp.ndarray,
     vis_gate: jnp.ndarray,
-    p_vis: jnp.ndarray,  # (M,) normalized visibility weights
+    p_vis: jnp.ndarray | None,  # (M,) normalized weights (one-phase mode)
     v_count: jnp.ndarray,
+    k_vis: float = 0.0,
+    tau_vis: float = 0.0,
+    two_phase: bool = False,
     tile_n: int = 512,
     interpret: bool = False,
 ):
     """Fused E-step: returns (p1 (M,), px (M,3), np_total, tr_xtdpt1x,
-    shortest_sq (M,))."""
+    shortest_sq (M,)).
+
+    With ``two_phase`` the visibility prior is derived inside the kernel from
+    a first min-distance sweep over the tiles (no separate nearest-point
+    kernel, no host round of the weights); otherwise ``p_vis`` supplies the
+    weights (required for the cross-shard pmin path).
+    """
     m = y.shape[0]
     n = x.shape[0]
     m_pad = _round_up(m, 8)
@@ -237,6 +290,8 @@ def fused_estep(
     yp = jnp.zeros((m_pad, 3), jnp.float32).at[:m].set(y)
     coordp = jnp.zeros((m_pad, 1), jnp.float32).at[:m, 0].set(node_coord)
     nmp = jnp.zeros((m_pad, 1), jnp.float32).at[:m, 0].set(node_mask.astype(jnp.float32))
+    if p_vis is None:
+        p_vis = jnp.ones((m,), jnp.float32)
     pvp = jnp.ones((m_pad, 1), jnp.float32).at[:m, 0].set(p_vis)
     xt = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(x.T)
     xmp = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(x_mask.astype(jnp.float32))
@@ -248,28 +303,30 @@ def fused_estep(
             c_vis.astype(jnp.float32),
             vis_gate.astype(jnp.float32),
             v_count.astype(jnp.float32),
-            jnp.asarray(n_pad // tile_n, jnp.float32),
+            jnp.asarray(k_vis, jnp.float32),
+            jnp.asarray(tau_vis, jnp.float32),
+            jnp.asarray(1.0 if two_phase else 0.0, jnp.float32),
         ]
     )
 
-    grid = (n_pad // tile_n,)
+    grid = (2 if two_phase else 1, n_pad // tile_n)
     p1, px, scal, short = pl.pallas_call(
         _estep_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((m_pad, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 3), lambda p, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), lambda p, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), lambda p, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), lambda p, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_n), lambda p, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda p, i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((m_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), lambda p, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 3), lambda p, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda p, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), lambda p, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),

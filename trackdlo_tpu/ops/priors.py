@@ -236,42 +236,45 @@ def correspondence_priors(
     guide_rev = guide_nodes[jnp.clip(v - 1 - iota, 0, m - 1)]
 
     zero = jnp.asarray(0, align_idx.dtype)
-
-    # 1) Head walk (alignment 0, trackdlo.cpp:597-671).
-    head = pursuit_walk(
-        guide_nodes, seg_len_fwd, zero, consec_head - 2, consec_head - 2, zero, v
-    )
-    # 2) Tail walk (alignment 1, trackdlo.cpp:672-748) in reversed space.
-    tail_w = pursuit_walk(
-        guide_rev, seg_len_rev, zero, consec_tail - 2, consec_tail - 2, zero, v
-    )
-    tail = WalkResult(pos=tail_w.pos[::-1], valid=tail_w.valid[::-1])
-
-    # 3) Both-ends forward walk (trackdlo.cpp:765-823).
     start_node = vis_ext_idx[jnp.clip(align_idx, 0, m - 1)]
-    fwd = pursuit_walk(
-        guide_nodes,
-        seg_len_fwd,
-        align_idx,
-        align_idx + consec_fwd - 2,
-        align_idx + consec_fwd - 2,
-        start_node,
-        v,
-    )
-    # 4) Both-ends backward walk (trackdlo.cpp:826-894) in reversed space.
-    #    The inner scan may use ALL segments down to guide row 0 (the
-    #    reference's i-1 >= 0 bound, trackdlo.cpp:847) — seg_hi = m-2.
     start_guide_rev = jnp.clip(v - 1 - align_idx, 0, m - 1)
-    bwd_w = pursuit_walk(
-        guide_rev,
-        seg_len_rev,
-        start_guide_rev,
-        jnp.asarray(m - 2, align_idx.dtype),
-        start_guide_rev + consec_bwd - 1,
-        m - 1 - start_node,
-        v,
+
+    # The four walks — head (alignment 0, trackdlo.cpp:597-671), tail
+    # (alignment 1, 672-748, reversed space), both-ends forward (765-823),
+    # both-ends backward (826-894, reversed space; its inner scan may use ALL
+    # segments down to guide row 0, the reference's i-1 >= 0 bound at 847) —
+    # are independent, so they run as ONE vmapped scan instead of four
+    # sequential ones (4x fewer scan-step launches).
+    walk_guides = jnp.stack([guide_nodes, guide_rev, guide_nodes, guide_rev])
+    walk_seglens = jnp.stack([seg_len_fwd, seg_len_rev, seg_len_fwd, seg_len_rev])
+    start_guides = jnp.stack([zero, zero, align_idx, start_guide_rev])
+    seg_his = jnp.stack(
+        [
+            consec_head - 2,
+            consec_tail - 2,
+            align_idx + consec_fwd - 2,
+            jnp.asarray(m - 2, align_idx.dtype),
+        ]
     )
-    bwd = WalkResult(pos=bwd_w.pos[::-1], valid=bwd_w.valid[::-1])
+    outer_his = jnp.stack(
+        [
+            consec_head - 2,
+            consec_tail - 2,
+            align_idx + consec_fwd - 2,
+            start_guide_rev + consec_bwd - 1,
+        ]
+    )
+    start_nodes = jnp.stack([zero, zero, start_node, m - 1 - start_node])
+    counts = jnp.broadcast_to(v, (4,))
+
+    walks = jax.vmap(pursuit_walk)(
+        walk_guides, walk_seglens, start_guides, seg_his, outer_his,
+        start_nodes, counts,
+    )
+    head = WalkResult(pos=walks.pos[0], valid=walks.valid[0])
+    tail = WalkResult(pos=walks.pos[1][::-1], valid=walks.valid[1][::-1])
+    fwd = WalkResult(pos=walks.pos[2], valid=walks.valid[2])
+    bwd = WalkResult(pos=walks.pos[3][::-1], valid=walks.valid[3][::-1])
 
     # --- dispatch (masked merges instead of lax.switch) -------------------
     both_hv = head.valid & tail.valid
