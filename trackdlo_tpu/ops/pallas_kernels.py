@@ -53,7 +53,9 @@ def _select_row(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _estep_kernel(
-    scalars_ref,  # SMEM (8,): sigma2, c, c_vis, vis_gate, v_count, k_vis, tau_vis, two_phase
+    scalars_ref,  # VMEM (8, 128) broadcast rows: sigma2, c, c_vis, vis_gate,
+    #              v_count, k_vis, tau_vis, two_phase. VMEM (not SMEM) so the
+    #              kernel stays vmappable (batched SMEM blocks don't lower).
     y_ref,  # (m_pad, 3)
     coord_ref,  # (m_pad, 1) geodesic coords (masked-frozen)
     node_mask_ref,  # (m_pad, 1) f32 0/1
@@ -78,14 +80,14 @@ def _estep_kernel(
     t = pl.program_id(1)
     m_pad = y_ref.shape[0]
 
-    sigma2 = scalars_ref[0]
-    c_plain = scalars_ref[1]
-    c_vis = scalars_ref[2]
-    vis_gate = scalars_ref[3]
-    v_count = scalars_ref[4].astype(jnp.int32)
-    k_vis = scalars_ref[5]
-    tau_vis = scalars_ref[6]
-    two_phase = scalars_ref[7] > 0
+    sigma2 = scalars_ref[0, 0]
+    c_plain = scalars_ref[1, 0]
+    c_vis = scalars_ref[2, 0]
+    vis_gate = scalars_ref[3, 0]
+    v_count = scalars_ref[4, 0].astype(jnp.int32)
+    k_vis = scalars_ref[5, 0]
+    tau_vis = scalars_ref[6, 0]
+    two_phase = scalars_ref[7, 0] > 0
 
     node_mask = node_mask_ref[:, 0]  # (m_pad,)
     x_mask = x_mask_ref[0, :]  # (T,)
@@ -296,17 +298,20 @@ def fused_estep(
     xt = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(x.T)
     xmp = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(x_mask.astype(jnp.float32))
 
-    scalars = jnp.stack(
-        [
-            sigma2.astype(jnp.float32),
-            c_plain.astype(jnp.float32),
-            c_vis.astype(jnp.float32),
-            vis_gate.astype(jnp.float32),
-            v_count.astype(jnp.float32),
-            jnp.asarray(k_vis, jnp.float32),
-            jnp.asarray(tau_vis, jnp.float32),
-            jnp.asarray(1.0 if two_phase else 0.0, jnp.float32),
-        ]
+    scalars = jnp.broadcast_to(
+        jnp.stack(
+            [
+                sigma2.astype(jnp.float32),
+                c_plain.astype(jnp.float32),
+                c_vis.astype(jnp.float32),
+                vis_gate.astype(jnp.float32),
+                v_count.astype(jnp.float32),
+                jnp.asarray(k_vis, jnp.float32),
+                jnp.asarray(tau_vis, jnp.float32),
+                jnp.asarray(1.0 if two_phase else 0.0, jnp.float32),
+            ]
+        )[:, None],
+        (8, 128),
     )
 
     grid = (2 if two_phase else 1, n_pad // tile_n)
@@ -314,7 +319,7 @@ def fused_estep(
         _estep_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 128), lambda p, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, 3), lambda p, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, 1), lambda p, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, 1), lambda p, i: (0, 0), memory_space=pltpu.VMEM),
