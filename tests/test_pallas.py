@@ -125,3 +125,60 @@ class TestFusedEstep:
                         CpdParams(**base, use_pallas=True), visible_count=vc)
         err = np.abs(np.asarray(r_xla.y) - np.asarray(r_pal.y)).max()
         assert err < 1e-4, err
+
+
+class TestFusedIteration:
+    def test_gauss_jordan_matches_solve(self):
+        # The in-kernel one-hot Gauss-Jordan solver vs jnp.linalg.solve.
+        from trackdlo_tpu.ops.pallas_kernels import _onehot_gauss_jordan
+
+        rng = np.random.default_rng(0)
+        m = 48
+        a = jnp.asarray(rng.normal(0, 1, (m, m)) + 6 * np.eye(m), jnp.float32)
+        b = jnp.asarray(rng.normal(0, 1, (m, 3)), jnp.float32)
+        w_ref = jnp.linalg.solve(a, b)
+        w = _onehot_gauss_jordan(a, b, jnp.ones(m, bool), m)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=2e-4)
+
+    def test_gauss_jordan_needs_pivoting(self):
+        # A matrix whose leading entry is ~0: no-pivot GE would blow up.
+        from trackdlo_tpu.ops.pallas_kernels import _onehot_gauss_jordan
+
+        a = np.array([[1e-12, 1.0], [1.0, 1.0]], np.float32)
+        ap = np.eye(8, dtype=np.float32)
+        ap[:2, :2] = a
+        b = np.zeros((8, 3), np.float32)
+        b[:2] = [[1, 0, 0], [2, 0, 0]]
+        w = np.asarray(_onehot_gauss_jordan(jnp.asarray(ap), jnp.asarray(b),
+                                            jnp.ones(8, bool), 8))
+        w_ref = np.linalg.solve(ap.astype(np.float64), b.astype(np.float64))
+        np.testing.assert_allclose(w[:2], w_ref[:2], rtol=1e-4)
+
+    def test_full_em_lle_priors_pallas_matches_xla(self, rope_cloud, nodes):
+        # Exercises the fused iteration with LLE + priors terms active.
+        xj, xm = _pack(rope_cloud)
+        prior_pos = np.zeros((45, 3), np.float32)
+        prior_mask = np.zeros(45, bool)
+        prior_mask[0] = prior_mask[44] = True
+        prior_pos[0] = nodes[0] + [0, 0.01, 0]
+        prior_pos[44] = nodes[44] - [0, 0.01, 0]
+        args = dict(
+            prior_pos=jnp.asarray(prior_pos), prior_mask=jnp.asarray(prior_mask),
+        )
+
+        def run(max_iter, use_pallas):
+            cp = CpdParams(beta=3.0, lam=1.0, lle_weight=10.0, mu=0.1,
+                           max_iter=max_iter, tol=1e-12, include_lle=True,
+                           alpha=3.0, use_priors=True, use_pallas=use_pallas,
+                           use_fused_mstep=use_pallas)
+            return cpd_lle(xj, xm, jnp.asarray(nodes), jnp.ones(45, bool),
+                           jnp.asarray(0.001, jnp.float32), cp, **args)
+
+        # Tight agreement in the regular regime (early iterations)...
+        err2 = np.abs(np.asarray(run(2, False).y) - np.asarray(run(2, True).y)).max()
+        assert err2 < 1e-4, err2
+        # ...and behavioural agreement at depth (sigma2 collapse makes deep
+        # iterations chaotic wrt f32 evaluation order — same as f32-vs-f64,
+        # see test_cpd_parity).
+        err30 = np.abs(np.asarray(run(30, False).y) - np.asarray(run(30, True).y)).max()
+        assert err30 < 2e-2, err30

@@ -55,6 +55,11 @@ class CpdParams:
     # The bandwidth win appears for dense clouds (N >~ 10k); numerics match
     # the XLA path. TPU only (other backends fall back automatically).
     use_pallas: bool = False
+    # Also fuse the M-step (in-kernel one-hot Gauss-Jordan solve) into the
+    # same kernel. Measured SLOWER than the XLA solve on v5e (the 48-step
+    # one-hot elimination loop lowers poorly) — kept as an option for future
+    # Mosaic versions / other chips.
+    use_fused_mstep: bool = False
     # Kernel family: "mct_geodesic" (the reference C++, trackdlo.cpp:233) or
     # the prototype's "gaussian_geodesic" / "gaussian_euclidean"
     # (tracking_test.py:288-305).
@@ -317,8 +322,40 @@ def _cpd_lle_impl(
         return t, s2_new, delta
 
     def em_iteration_pallas(y_cur, s2):
-        """Fused-kernel variant of em_iteration: identical math, but the
-        (M, N) affinity never leaves VMEM (ops/pallas_kernels.py)."""
+        """Single-kernel EM iteration: E-step tiles + in-register M-step
+        (one-hot Gauss-Jordan solve) in one pallas_call; the (M, N) affinity
+        never leaves VMEM (ops/pallas_kernels.py)."""
+        from trackdlo_tpu.ops.pallas_kernels import fused_em_iteration
+
+        interpret = jax.default_backend() != "tpu"
+        c_base = (_TWO_PI * s2) ** (d / 2) * params.mu / (1 - params.mu)
+        c = c_base * v_count.astype(dtype) / n_safe
+        c_vis = c_base / n_safe
+        gate_f = jnp.where(vis_gate, 1.0, 0.0).astype(dtype)
+
+        zeros_mm = jnp.zeros((m, m), dtype)
+        zeros_m3 = jnp.zeros((m, 3), dtype)
+        t, s2_new, delta = fused_em_iteration(
+            y_cur, y0, node_mask, node_coord,
+            g,
+            hg if params.include_lle else zeros_mm,
+            hy0 if params.include_lle else zeros_m3,
+            jg if params.use_priors else zeros_mm,
+            prior_disp if params.use_priors else zeros_m3,
+            x, x_mask,
+            s2, c, c_vis, gate_f, v_count,
+            k_vis=params.k_vis,
+            tau_vis=params.visibility_threshold,
+            lam=params.lam,
+            coef_lle=params.lle_weight if params.include_lle else 0.0,
+            alpha=params.alpha if params.use_priors else 0.0,
+            interpret=interpret,
+        )
+        return t, s2_new, delta
+
+    def em_iteration_pallas_sharded(y_cur, s2):
+        """Sharded fused variant: separate kernels so the nearest-point
+        distances can cross shards via pmin before the E-step."""
         from trackdlo_tpu.ops.pallas_kernels import fused_estep, nearest_point_sq
 
         interpret = jax.default_backend() != "tpu"
@@ -382,7 +419,13 @@ def _cpd_lle_impl(
         delta = move / jnp.maximum(v_count, 1)
         return t, s2_new, delta
 
-    iteration = em_iteration_pallas if params.use_pallas else em_iteration
+    if params.use_pallas:
+        if params.use_fused_mstep and axis_name is None:
+            iteration = em_iteration_pallas
+        else:
+            iteration = em_iteration_pallas_sharded
+    else:
+        iteration = em_iteration
 
     def cond(carry):
         _, _, it, done, _ = carry

@@ -201,6 +201,278 @@ def _estep_tile(
     ).reshape(1, 2)
 
 
+def _onehot_gauss_jordan(a, b, valid_col, m_pad):
+    """Solve a @ w = b via Gauss-Jordan with one-hot row selection.
+
+    Column pivoting by row selection (numerically equivalent to partial
+    pivoting) expressed entirely in broadcast/compare/reduce ops — no
+    sublane gathers or row swaps, which Mosaic cannot lower. ``valid_col``
+    masks the active columns (padded rows of ``a`` must be identity).
+    """
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (m_pad, m_pad), 1)
+    subl = jax.lax.broadcasted_iota(jnp.int32, (m_pad, m_pad), 0)
+
+    def step(k, carry):
+        a_c, b_c, used, perm, diag = carry
+        onehot_k = (lanes[0:1, :] == k).astype(jnp.float32)  # (1, m_pad)
+        col = jnp.sum(a_c * onehot_k, axis=1)  # (m_pad,) column k
+        cand = jnp.where(used > 0, -1.0, jnp.abs(col))
+        r = jnp.argmax(cand)
+        r_onehot = (jax.lax.broadcasted_iota(jnp.int32, (m_pad,), 0) == r).astype(
+            jnp.float32
+        )
+        pivot_row_a = jnp.sum(r_onehot[:, None] * a_c, axis=0)  # (m_pad,)
+        pivot_row_b = jnp.sum(r_onehot[:, None] * b_c, axis=0)  # (3,)
+        pv = jnp.sum(r_onehot * col)
+        pv_safe = jnp.where(pv == 0, 1.0, pv)
+        factor = col / pv_safe * (1.0 - r_onehot)
+        a_c = a_c - factor[:, None] * pivot_row_a[None, :]
+        b_c = b_c - factor[:, None] * pivot_row_b[None, :]
+        used = used + r_onehot
+        # perm[k, r] = 1; diag[k] = pivot value (stable after this step).
+        perm = perm + (subl == k).astype(jnp.float32) * r_onehot[None, :]
+        diag = diag + pv * (jax.lax.broadcasted_iota(jnp.int32, (m_pad,), 0) == k)
+        return a_c, b_c, used, perm, diag
+
+    used0 = jnp.zeros((m_pad,), jnp.float32)
+    perm0 = jnp.zeros((m_pad, m_pad), jnp.float32)
+    diag0 = jnp.zeros((m_pad,), jnp.float32)
+    a_f, b_f, _, perm, diag = jax.lax.fori_loop(
+        0, m_pad, step, (a, b, used0, perm0, diag0)
+    )
+    w = jax.lax.dot_general(
+        perm, b_f, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    diag_safe = jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
+    return w / diag_safe[:, None]
+
+
+def _em_iteration_kernel(
+    scalars_ref,  # VMEM (16, 128): rows as in fused_estep + lam, coef_lle, alpha
+    y_ref,  # (m_pad, 3) current iterate (distances)
+    y0_ref,  # (m_pad, 3) EM origin (M-step expands around it)
+    coord_ref,
+    node_mask_ref,
+    g_ref,  # (m_pad, m_pad) kernel matrix
+    hg_ref,  # (m_pad, m_pad) H @ G (zeros when include_lle off)
+    hy0_ref,  # (m_pad, 3) H @ Y0
+    jg_ref,  # (m_pad, m_pad) prior-selected rows of G (zeros when unused)
+    prior_disp_ref,  # (m_pad, 3) alpha-term displacement
+    xt_ref,
+    x_mask_ref,
+    t_ref,  # out (m_pad, 3) updated nodes
+    stats_ref,  # out (1, 2): sigma2_new, delta
+    p1_scr,  # scratch (m_pad, 1)
+    px_scr,  # scratch (m_pad, 3)
+    scal_scr,  # scratch (1, 2)
+    short_scr,  # scratch (m_pad, 1)
+):
+    """One FULL EM iteration as a single kernel: grid (3, n_tiles).
+
+    Phase 0 accumulates nearest-point distances; phase 1 runs the fused
+    E-step over tiles; phase 2 (first tile only) assembles the M-step system
+    (trackdlo.cpp:392-415), solves it in-register, updates the nodes, and
+    computes the sigma2 trace update + convergence delta (417-424).
+    """
+    phase = pl.program_id(0)
+    t = pl.program_id(1)
+    m_pad = y_ref.shape[0]
+
+    sigma2 = scalars_ref[0, 0]
+    c_plain = scalars_ref[1, 0]
+    c_vis = scalars_ref[2, 0]
+    vis_gate = scalars_ref[3, 0]
+    v_count = scalars_ref[4, 0].astype(jnp.int32)
+    k_vis = scalars_ref[5, 0]
+    tau_vis = scalars_ref[6, 0]
+    lam = scalars_ref[8, 0]
+    coef_lle = scalars_ref[9, 0]
+    alpha = scalars_ref[10, 0]
+
+    node_mask = node_mask_ref[:, 0]
+    x_mask = x_mask_ref[0, :]
+    pair = node_mask[:, None] * x_mask[None, :]
+
+    @pl.when(phase < 2)
+    def _stream_phases():
+        sq = jnp.zeros((m_pad, xt_ref.shape[1]), jnp.float32)
+        for d in range(3):
+            diff = y_ref[:, d][:, None] - xt_ref[d, :][None, :]
+            sq += diff * diff
+        sq_masked = jnp.where(pair > 0, sq, _BIG)
+        tile_min = jnp.min(sq_masked, axis=1, keepdims=True)
+
+        @pl.when((phase == 0) & (t == 0))
+        def _init():
+            p1_scr[:] = jnp.zeros_like(p1_scr)
+            px_scr[:] = jnp.zeros_like(px_scr)
+            scal_scr[:] = jnp.zeros_like(scal_scr)
+            short_scr[:] = jnp.full_like(short_scr, _BIG)
+
+        @pl.when(phase == 0)
+        def _accumulate_min():
+            short_scr[:] = jnp.minimum(short_scr[:], tile_min)
+
+        @pl.when(phase == 1)
+        def _estep():
+            _estep_tile(
+                sq, pair, node_mask_ref[:], sigma2, c_plain, c_vis, vis_gate,
+                v_count, k_vis, tau_vis, jnp.asarray(True),
+                y_ref, coord_ref, p1_scr, xt_ref,  # p_vis_ref unused (two-phase)
+                p1_scr, px_scr, scal_scr, short_scr,
+                m_pad,
+            )
+
+    @pl.when((phase == 2) & (t == 0))
+    def _mstep():
+        p1 = p1_scr[:, 0]
+        px = px_scr[:]
+        g = g_ref[:]
+        y0 = y0_ref[:]
+        eye = (
+            jax.lax.broadcasted_iota(jnp.int32, (m_pad, m_pad), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (m_pad, m_pad), 1)
+        ).astype(jnp.float32)
+
+        a = p1[:, None] * g + lam * sigma2 * eye
+        a = a + sigma2 * coef_lle * hg_ref[:] + alpha * jg_ref[:]
+        b = px - p1[:, None] * y0
+        b = b - sigma2 * coef_lle * hy0_ref[:] + alpha * prior_disp_ref[:]
+        # Padded nodes: identity rows / zero rhs (displacement stays zero).
+        pair_nodes = node_mask[:, None] * node_mask[None, :]
+        a = jnp.where(pair_nodes > 0, a, eye)
+        b = b * node_mask[:, None]
+
+        w = _onehot_gauss_jordan(a, b, node_mask, m_pad)
+        t_new = y0 + jax.lax.dot_general(
+            g, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        t_new = jnp.where(node_mask[:, None] > 0, t_new, y0)
+        t_ref[:] = t_new
+
+        # sigma2 trace update (trackdlo.cpp:417-422).
+        np_total = scal_scr[0, 0]
+        tr_x = scal_scr[0, 1]
+        tr_pxt = jnp.sum(px * t_new)
+        tr_tt = jnp.sum(p1[:, None] * t_new * t_new)
+        s2_new = (tr_x - 2.0 * tr_pxt + tr_tt) / jnp.maximum(np_total * 3.0, 1e-30)
+        s2_new = jnp.maximum(s2_new, 1e-10)
+
+        # Convergence delta (trackdlo.cpp:424).
+        dm = t_new - y_ref[:]
+        move2 = jnp.sum(dm * dm, axis=1, keepdims=True)
+        move = jnp.sum(jnp.sqrt(move2) * node_mask_ref[:])
+        delta = move / jnp.maximum(v_count.astype(jnp.float32), 1.0)
+        stats_ref[:] = jnp.stack([s2_new, delta]).reshape(1, 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_vis", "tau_vis", "lam", "coef_lle", "alpha", "tile_n", "interpret"),
+)
+def fused_em_iteration(
+    y: jnp.ndarray,
+    y0: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    node_coord: jnp.ndarray,
+    g: jnp.ndarray,  # (M, M)
+    hg: jnp.ndarray,  # (M, M) or zeros
+    hy0: jnp.ndarray,  # (M, 3) or zeros
+    jg: jnp.ndarray,  # (M, M) or zeros
+    prior_disp: jnp.ndarray,  # (M, 3) or zeros
+    x: jnp.ndarray,
+    x_mask: jnp.ndarray,
+    sigma2: jnp.ndarray,
+    c_plain: jnp.ndarray,
+    c_vis: jnp.ndarray,
+    vis_gate: jnp.ndarray,
+    v_count: jnp.ndarray,
+    k_vis: float = 0.0,
+    tau_vis: float = 0.0,
+    lam: float = 1.0,
+    coef_lle: float = 0.0,
+    alpha: float = 0.0,
+    tile_n: int = 512,
+    interpret: bool = False,
+):
+    """One full EM iteration in a single pallas_call.
+
+    Returns (t (M, 3), sigma2_new, delta)."""
+    m = y.shape[0]
+    n = x.shape[0]
+    m_pad = _round_up(m, 8)
+    n_pad = _round_up(n, tile_n)
+
+    def pad_mat(v, cols):
+        return jnp.zeros((m_pad, cols), jnp.float32).at[:m, : v.shape[1]].set(v)
+
+    yp = pad_mat(y, 3)
+    y0p = pad_mat(y0, 3)
+    coordp = jnp.zeros((m_pad, 1), jnp.float32).at[:m, 0].set(node_coord)
+    nmp = jnp.zeros((m_pad, 1), jnp.float32).at[:m, 0].set(node_mask.astype(jnp.float32))
+    gp = jnp.zeros((m_pad, m_pad), jnp.float32).at[:m, :m].set(g)
+    hgp = jnp.zeros((m_pad, m_pad), jnp.float32).at[:m, :m].set(hg)
+    hy0p = pad_mat(hy0, 3)
+    jgp = jnp.zeros((m_pad, m_pad), jnp.float32).at[:m, :m].set(jg)
+    pdp = pad_mat(prior_disp, 3)
+    xt = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(x.T)
+    xmp = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(x_mask.astype(jnp.float32))
+
+    scalars = jnp.zeros((16,), jnp.float32)
+    scalars = scalars.at[0].set(sigma2.astype(jnp.float32))
+    scalars = scalars.at[1].set(c_plain.astype(jnp.float32))
+    scalars = scalars.at[2].set(c_vis.astype(jnp.float32))
+    scalars = scalars.at[3].set(vis_gate.astype(jnp.float32))
+    scalars = scalars.at[4].set(v_count.astype(jnp.float32))
+    scalars = scalars.at[5].set(k_vis)
+    scalars = scalars.at[6].set(tau_vis)
+    scalars = scalars.at[7].set(1.0)  # two_phase
+    scalars = scalars.at[8].set(lam)
+    scalars = scalars.at[9].set(coef_lle)
+    scalars = scalars.at[10].set(alpha)
+    scalars_b = jnp.broadcast_to(scalars[:, None], (16, 128))
+
+    full = lambda p, i: (0, 0)
+    tiled = lambda p, i: (0, i)
+    t_out, stats = pl.pallas_call(
+        _em_iteration_kernel,
+        grid=(3, n_pad // tile_n),
+        in_specs=[
+            pl.BlockSpec((16, 128), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, m_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, m_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, m_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_n), tiled, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), tiled, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((m_pad, 3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), full, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((m_pad, 1), jnp.float32),
+            pltpu.VMEM((m_pad, 3), jnp.float32),
+            pltpu.VMEM((1, 2), jnp.float32),
+            pltpu.VMEM((m_pad, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scalars_b, yp, y0p, coordp, nmp, gp, hgp, hy0p, jgp, pdp, xt, xmp)
+
+    return t_out[:m], stats[0, 0], stats[0, 1]
+
+
 def _nearest_kernel(y_ref, node_mask_ref, xt_ref, x_mask_ref, out_ref):
     t = pl.program_id(0)
     m_pad = y_ref.shape[0]
