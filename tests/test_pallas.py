@@ -182,3 +182,62 @@ class TestFusedIteration:
         # see test_cpd_parity).
         err30 = np.abs(np.asarray(run(30, False).y) - np.asarray(run(30, True).y)).max()
         assert err30 < 2e-2, err30
+
+
+class TestFusedVisibility:
+    @pytest.mark.parametrize("occlude", [None, (450, 850)])
+    def test_matches_xla_visibility(self, occlude):
+        import numpy as np
+        from trackdlo_tpu.config import CameraIntrinsics, live_params
+        from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
+        from trackdlo_tpu.oracle.preprocess import preprocess_frame as opre
+        from trackdlo_tpu.ops.visibility import compute_visibility
+        from trackdlo_tpu.ops.visibility_kernel import fused_visibility
+
+        params = live_params()
+        intr = CameraIntrinsics()
+        rope = SyntheticRope()
+        rgb, depth = render_frame(rope, 1 / 15.0, intr)
+        occ_mask = None
+        if occlude is not None:
+            occ_mask = np.ones((intr.height, intr.width), np.uint8)
+            occ_mask[:, occlude[0]:occlude[1]] = 0
+        x = opre(rgb, depth, params, intr, occlusion_mask=occ_mask)
+        x = x[x[:, 2] > 0]
+        y = rope.nodes(0.0, params.M).astype(np.float32)
+        from trackdlo_tpu.oracle.geometry import geodesic_coords
+        coord = geodesic_coords(y).astype(np.float32)
+
+        cap = 512
+        xp = np.zeros((cap, 3), np.float32); xp[: len(x)] = x
+        xm = np.zeros(cap, bool); xm[: len(x)] = True
+        args = (
+            jnp.asarray(y), jnp.asarray(xp), jnp.asarray(xm),
+            jnp.asarray(intr.proj_matrix(), jnp.float32), jnp.asarray(coord),
+        )
+        ref = compute_visibility(
+            *args, intr.height, intr.width,
+            params.visibility_threshold, params.dlo_pixel_width, params.d_vis,
+        )
+        got = fused_visibility(
+            *args, intr.height, intr.width,
+            params.visibility_threshold, params.dlo_pixel_width, params.d_vis,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got.visible_mask), np.asarray(ref.visible_mask))
+        np.testing.assert_array_equal(np.asarray(got.extended_mask), np.asarray(ref.extended_mask))
+        np.testing.assert_array_equal(np.asarray(got.not_self_occluded), np.asarray(ref.not_self_occluded))
+        np.testing.assert_allclose(
+            np.asarray(got.shortest_node_pt_dists), np.asarray(ref.shortest_node_pt_dists),
+            rtol=1e-4, atol=1e-7,
+        )
+        assert int(got.vis_count) == int(ref.vis_count)
+        assert int(got.vis_ext_count) == int(ref.vis_ext_count)
+        vc = int(ref.vis_count)
+        np.testing.assert_array_equal(
+            np.asarray(got.vis_idx)[:vc], np.asarray(ref.vis_idx)[:vc]
+        )
+        ec = int(ref.vis_ext_count)
+        np.testing.assert_array_equal(
+            np.asarray(got.vis_ext_idx)[:ec], np.asarray(ref.vis_ext_idx)[:ec]
+        )

@@ -107,19 +107,37 @@ def _step_impl(
         voxel_leaf=params.downsample_leaf_size if params.exact_voxels else None,
     )
 
-    # L3: visibility (trackdlo_node.cpp:254-360).
-    vis = compute_visibility(
-        state.y,
-        pc.points,
-        pc.mask,
-        proj,
-        state.geodesic_coord,
-        intr.height,
-        intr.width,
-        params.visibility_threshold,
-        params.dlo_pixel_width,
-        params.d_vis,
-    )
+    # L3: visibility (trackdlo_node.cpp:254-360). On TPU the whole pass runs
+    # as one Pallas kernel (ops/visibility_kernel.py).
+    if use_pallas:
+        from trackdlo_tpu.ops.visibility_kernel import fused_visibility
+
+        vis = fused_visibility(
+            state.y,
+            pc.points,
+            pc.mask,
+            proj,
+            state.geodesic_coord,
+            intr.height,
+            intr.width,
+            params.visibility_threshold,
+            params.dlo_pixel_width,
+            params.d_vis,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        vis = compute_visibility(
+            state.y,
+            pc.points,
+            pc.mask,
+            proj,
+            state.geodesic_coord,
+            intr.height,
+            intr.width,
+            params.visibility_threshold,
+            params.dlo_pixel_width,
+            params.d_vis,
+        )
 
     # Points-axis sharding (sequence-parallel EM): under shard_map, each
     # model-axis rank keeps its slice of the point set; preprocessing and

@@ -1,0 +1,300 @@
+"""Fused Pallas visibility kernel.
+
+One pallas_call computes the whole visibility pass
+(trackdlo_node.cpp:254-360): per-node nearest-cloud distances (tiled sweep
+over the point axis), painter's-algorithm self-occlusion (closed form, see
+ops/visibility.py), geodesic gap fill, and prefix-packing of the
+visible/extended index lists — replacing ~30 small XLA kernels with one.
+
+Sorting-free formulations (Mosaic has no sort):
+- edge draw rank = pairwise stable comparison count;
+- prev/next visible neighbour = triangular masked max/min reductions;
+- prefix packing = exclusive prefix counts + one-hot placement.
+
+Everything in M-space is (m_pad, m_pad) broadcast/compare/reduce ops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e5
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _visibility_kernel(
+    scalars_ref,  # VMEM (8, 128): tau_vis, w_half, d_vis, m_real, rows, cols + proj rows 16.. no: proj passed separately
+    proj_ref,  # VMEM (8, 128): rows 0-2 hold the 3x4 projection (cols 0-3)
+    y_ref,  # (m_pad, 3)
+    coord_ref,  # (m_pad, 1)
+    xt_ref,  # (3, T)
+    x_mask_ref,  # (1, T)
+    visible_ref,  # out (m_pad, 1) f32 0/1
+    extended_ref,  # out (m_pad, 1)
+    not_occ_ref,  # out (m_pad, 1)
+    shortest_ref,  # out (m_pad, 1) distances (not squared)
+    vis_idx_ref,  # out (m_pad, 1) packed visible indices (f32)
+    ext_idx_ref,  # out (m_pad, 1) packed extended indices (f32)
+    counts_ref,  # out (1, 2): vis_count, ext_count
+    short_scr,  # scratch (m_pad, 1) squared minima
+):
+    phase = pl.program_id(0)
+    t = pl.program_id(1)
+    m_pad = y_ref.shape[0]
+
+    tau_vis = scalars_ref[0, 0]
+    w_half = scalars_ref[1, 0]
+    d_vis = scalars_ref[2, 0]
+    m_real = scalars_ref[3, 0].astype(jnp.int32)
+
+    @pl.when(phase == 0)
+    def _min_sweep():
+        @pl.when(t == 0)
+        def _init():
+            short_scr[:] = jnp.full_like(short_scr, _BIG)
+
+        sq = jnp.zeros((m_pad, xt_ref.shape[1]), jnp.float32)
+        for d in range(3):
+            diff = y_ref[:, d][:, None] - xt_ref[d, :][None, :]
+            sq += diff * diff
+        sq = jnp.where(x_mask_ref[0, :][None, :] > 0, sq, _BIG)
+        short_scr[:] = jnp.minimum(short_scr[:], jnp.min(sq, axis=1, keepdims=True))
+
+    @pl.when((phase == 1) & (t == 0))
+    def _finish():
+        iota_col = jax.lax.broadcasted_iota(jnp.int32, (m_pad, 1), 0)  # (m_pad,1)
+        node_valid = (iota_col < m_real).astype(jnp.float32)  # (m_pad,1)
+        edge_valid_col = (iota_col < m_real - 1).astype(jnp.float32)
+
+        y = y_ref[:]
+        # Edge midpoints' camera distance (trackdlo_node.cpp:280-291); edge e
+        # connects nodes e and e+1. next-node arrays via a shifted one-hot
+        # matmul-free trick: roll is unavailable; use (m_pad, m_pad) select.
+        sub = jax.lax.broadcasted_iota(jnp.int32, (m_pad, m_pad), 0)
+        lan = jax.lax.broadcasted_iota(jnp.int32, (m_pad, m_pad), 1)
+        shift = (lan == sub + 1).astype(jnp.float32)  # shift[i, i+1] = 1
+        y_next = jax.lax.dot_general(
+            shift, y, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # y_next[i] = y[i+1]
+        mid = (y + y_next) * 0.5
+        edge_dist2 = jnp.sum(mid * mid, axis=1, keepdims=True)  # (m_pad,1)
+        edge_dist2 = jnp.where(edge_valid_col > 0, edge_dist2, _BIG)
+
+        # Stable ascending rank of each edge (argsort-equivalent).
+        de_i = edge_dist2  # (m_pad,1) broadcast over lanes as sublane dim
+        de_j = edge_dist2[:, 0][None, :]  # lanes dim
+        less = (de_j < de_i[:, 0][:, None]).astype(jnp.float32)
+        tie_first = ((de_j == de_i[:, 0][:, None]) & (lan < sub)).astype(jnp.float32)
+        rank_col = jnp.sum(
+            (less + tie_first) * edge_valid_col[:, 0][None, :], axis=1, keepdims=True
+        )  # (m_pad,1) rank of edge i
+        rank_col = jnp.where(edge_valid_col > 0, rank_col, 1e9)
+
+        # Node pixels (integer cast) and clamped read positions.
+        proj = proj_ref[:]  # (8, 128); rows 0..2, cols 0..3
+        px = (
+            y[:, 0] * proj[0, 0] + y[:, 1] * proj[0, 1]
+            + y[:, 2] * proj[0, 2] + proj[0, 3]
+        )
+        py = (
+            y[:, 0] * proj[1, 0] + y[:, 1] * proj[1, 1]
+            + y[:, 2] * proj[1, 2] + proj[1, 3]
+        )
+        pz = (
+            y[:, 0] * proj[2, 0] + y[:, 1] * proj[2, 1]
+            + y[:, 2] * proj[2, 2] + proj[2, 3]
+        )
+        pz_safe = jnp.where(pz == 0, 1.0, pz)
+        u = (px / pz_safe).astype(jnp.int32).astype(jnp.float32)
+        v = (py / pz_safe).astype(jnp.int32).astype(jnp.float32)
+        cols_max = scalars_ref[4, 0]
+        rows_max = scalars_ref[5, 0]
+        ur = jnp.clip(u, 0.0, cols_max - 1.0)
+        vr = jnp.clip(v, 0.0, rows_max - 1.0)
+
+        # Pixel point-to-segment distances: node i (sublanes) vs edge j
+        # (lanes). Edge j endpoints: (u[j], v[j]) -> (u[j+1], v[j+1]).
+        u_l = u[None, :]
+        v_l = v[None, :]
+        # next-node pixel per edge: sum over LANES of shift[i, j]*u[j] = u[i+1]
+        # (summing over sublanes would give the previous node instead).
+        u_next = jnp.sum(shift * u[None, :], axis=1)[None, :]
+        v_next = jnp.sum(shift * v[None, :], axis=1)[None, :]
+        ax = u_l
+        ay = v_l
+        bx = u_next
+        by = v_next
+        abx = bx - ax
+        aby = by - ay
+        apx = ur[:, None] - ax
+        apy = vr[:, None] - ay
+        denom = jnp.maximum(abx * abx + aby * aby, 1e-12)
+        tt = jnp.clip((apx * abx + apy * aby) / denom, 0.0, 1.0)
+        dx = apx - tt * abx
+        dy = apy - tt * aby
+        covers = (dx * dx + dy * dy) <= w_half * w_half  # (m_pad, m_pad)
+
+        # check rank of node i = min rank over its adjacent edges (i-1, i).
+        rank_vec = rank_col[:, 0]
+        rank_prev = jnp.sum(shift * rank_vec[:, None], axis=0)  # rank_prev[i]=rank[i+1]? no:
+        # shift[i, i+1]=1: sum over sublanes of shift * rank gives at lane
+        # i+1 the value rank[i] -> this is "rank of edge i seen from node i+1".
+        rank_of_prev_edge = rank_prev  # for node i: rank[e=i-1]
+        check_rank = jnp.minimum(
+            jnp.where(edge_valid_col[:, 0] > 0, rank_vec, 1e9),  # own edge i
+            jnp.where(iota_col[:, 0] > 0, rank_of_prev_edge, 1e9),
+        )  # (m_pad,)
+
+        covered = jnp.sum(
+            covers.astype(jnp.float32)
+            * (rank_vec[None, :] < check_rank[:, None]).astype(jnp.float32)
+            * edge_valid_col[:, 0][None, :],
+            axis=1, keepdims=True,
+        ) > 0
+        not_occ = jnp.logical_not(covered) & (node_valid > 0)
+
+        shortest = jnp.sqrt(short_scr[:])
+        visible = not_occ & (shortest <= tau_vis)
+        visible_f = visible.astype(jnp.float32)
+
+        # Gap fill (trackdlo_node.cpp:349-360): prev/next visible neighbour
+        # via triangular masked reductions over sublanes.
+        vis_lane = visible_f[:, 0][None, :]
+        # float iota is not a legal tpu.iota — build int and cast.
+        idx_lane = jax.lax.broadcasted_iota(jnp.int32, (m_pad, m_pad), 1).astype(
+            jnp.float32
+        )
+        low_tri = (lan <= sub).astype(jnp.float32)  # lanes j <= sublane i
+        up_tri = (lan >= sub).astype(jnp.float32)
+        prev_vis = jnp.max(
+            jnp.where((low_tri * vis_lane) > 0, idx_lane, -1.0), axis=1, keepdims=True
+        )
+        next_vis = jnp.min(
+            jnp.where((up_tri * vis_lane) > 0, idx_lane, 1e9), axis=1, keepdims=True
+        )
+        coord = coord_ref[:]
+        # coord at prev/next via one-hot selects.
+        prev_oh = (idx_lane == prev_vis).astype(jnp.float32)
+        next_oh = (idx_lane == next_vis).astype(jnp.float32)
+        coord_lane = coord[:, 0][None, :]
+        coord_prev = jnp.sum(prev_oh * coord_lane, axis=1, keepdims=True)
+        coord_next = jnp.sum(next_oh * coord_lane, axis=1, keepdims=True)
+        has_both = (prev_vis >= 0) & (next_vis < 1e9)
+        gap_ok = jnp.abs(coord_next - coord_prev) <= d_vis
+        extended = (visible | (has_both & gap_ok & (node_valid > 0))).astype(
+            jnp.float32
+        )
+
+        # Prefix-pack indices: pos[i] = number of visible nodes before i.
+        strict_tri = (lan < sub).astype(jnp.float32)
+        def pack(mask_col, out_ref):
+            mask_lane = mask_col[:, 0][None, :]
+            pos = jnp.sum(strict_tri * mask_lane, axis=1, keepdims=True)  # (m_pad,1)
+            # place[k, i] = 1 iff node i is the k-th set element.
+            place = (
+                (idx_lane * 0 + pos[:, 0][None, :] == sub.astype(jnp.float32))
+                & (mask_lane > 0)
+            ).astype(jnp.float32)
+            packed = jnp.sum(place * idx_lane, axis=1, keepdims=True)
+            any_at = jnp.sum(place, axis=1, keepdims=True)
+            out_ref[:] = jnp.where(any_at > 0, packed, 0.0)
+
+        pack(visible_f, vis_idx_ref)
+        pack(extended, ext_idx_ref)
+
+        visible_ref[:] = visible_f
+        extended_ref[:] = extended
+        not_occ_ref[:] = not_occ.astype(jnp.float32)
+        shortest_ref[:] = shortest
+        counts_ref[:] = jnp.stack(
+            [jnp.sum(visible_f, axis=0)[0], jnp.sum(extended, axis=0)[0]]
+        ).reshape(1, 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "img_rows", "img_cols", "visibility_threshold", "dlo_pixel_width",
+        "d_vis", "tile_n", "interpret",
+    ),
+)
+def fused_visibility(
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    x_mask: jnp.ndarray,
+    proj: jnp.ndarray,  # (3, 4)
+    geodesic_coord: jnp.ndarray,
+    img_rows: int,
+    img_cols: int,
+    visibility_threshold: float,
+    dlo_pixel_width: int,
+    d_vis: float,
+    tile_n: int = 512,
+    interpret: bool = False,
+):
+    """Single-kernel visibility; same outputs as ops.visibility.compute_visibility."""
+    from trackdlo_tpu.ops.visibility import VisibilityOut
+
+    m = y.shape[0]
+    n = x.shape[0]
+    m_pad = _round_up(m, 8)
+    n_pad = _round_up(n, tile_n)
+
+    yp = jnp.zeros((m_pad, 3), jnp.float32).at[:m].set(y)
+    coordp = jnp.zeros((m_pad, 1), jnp.float32).at[:m, 0].set(geodesic_coord)
+    xt = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(x.T)
+    xmp = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(x_mask.astype(jnp.float32))
+
+    scalars = jnp.zeros((8,), jnp.float32)
+    scalars = scalars.at[0].set(visibility_threshold)
+    scalars = scalars.at[1].set(dlo_pixel_width / 2.0)
+    scalars = scalars.at[2].set(d_vis)
+    scalars = scalars.at[3].set(float(m))
+    scalars = scalars.at[4].set(float(img_cols))
+    scalars = scalars.at[5].set(float(img_rows))
+    scalars_b = jnp.broadcast_to(scalars[:, None], (8, 128))
+    projp = jnp.zeros((8, 128), jnp.float32).at[:3, :4].set(proj)
+
+    full = lambda p, i: (0, 0)
+    tiled = lambda p, i: (0, i)
+    col = lambda: pl.BlockSpec((m_pad, 1), full, memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _visibility_kernel,
+        grid=(2, n_pad // tile_n),
+        in_specs=[
+            pl.BlockSpec((8, 128), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 3), full, memory_space=pltpu.VMEM),
+            col(),
+            pl.BlockSpec((3, tile_n), tiled, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), tiled, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[col(), col(), col(), col(), col(), col(),
+                   pl.BlockSpec((1, 2), full, memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32) for _ in range(6)
+        ] + [jax.ShapeDtypeStruct((1, 2), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((m_pad, 1), jnp.float32)],
+        interpret=interpret,
+    )(scalars_b, projp, yp, coordp, xt, xmp)
+
+    visible, extended, not_occ, shortest, vis_idx, ext_idx, counts = outs
+    return VisibilityOut(
+        visible_mask=visible[:m, 0] > 0,
+        extended_mask=extended[:m, 0] > 0,
+        not_self_occluded=not_occ[:m, 0] > 0,
+        shortest_node_pt_dists=shortest[:m, 0],
+        vis_idx=jnp.clip(vis_idx[:m, 0].astype(jnp.int32), 0, m - 1),
+        vis_count=counts[0, 0].astype(jnp.int32),
+        vis_ext_idx=jnp.clip(ext_idx[:m, 0].astype(jnp.int32), 0, m - 1),
+        vis_ext_count=counts[0, 1].astype(jnp.int32),
+    )
