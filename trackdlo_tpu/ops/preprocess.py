@@ -182,7 +182,9 @@ def preprocess_frame(
     cell_valid = counts > 0
 
     # Compact valid cells into a fixed-capacity candidate set (ascending cell
-    # index among valid cells; EM results are point-order invariant).
+    # index among valid cells; EM results are point-order invariant). Keeping
+    # this narrow-key sort before the voxel snap is faster than sorting all
+    # cells by wide voxel keys directly (measured on v5e).
     n_cells = cells.shape[0]
     cap = candidate_cap if voxel_leaf is not None else max_points
     keys = jnp.where(cell_valid, jnp.arange(n_cells, dtype=jnp.int32), n_cells)
