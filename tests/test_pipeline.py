@@ -215,3 +215,63 @@ class TestSkeleton:
         assert steps.max() < 60
         # Covers the rope end to end in x.
         assert pts[:, 0].max() - pts[:, 0].min() > 1000
+
+
+class TestOcclusionScenarios:
+    """End-to-end coverage of the remaining dispatch cases (mid-section is
+    covered above; these drive tip occlusions like the reference's eval
+    scenarios, launch/evaluation.launch:14-19)."""
+
+    def _run(self, occ_cols, n_frames=6, occlude_from=2):
+        params = live_params()
+        intr = CameraIntrinsics()
+        rope = SyntheticRope()
+        tracker = Tracker(params, intr)
+        state = tracker.init_from_nodes(rope.nodes(0.0, params.M))
+        occ = np.ones((intr.height, intr.width), np.uint8) * 255
+        occ[:, occ_cols[0]:occ_cols[1]] = 0
+        states, errs = [], []
+        for i in range(1, n_frames + 1):
+            rgb, depth = render_frame(rope, i / 15.0, intr)
+            m = occ if i >= occlude_from else None
+            state, out = tracker.step(state, rgb, depth, m)
+            gt = rope.nodes(i / 15.0, params.M)
+            errs.append(np.linalg.norm(np.asarray(state.y) - gt, axis=1).mean())
+            states.append(int(out.occlusion_state))
+        return states, errs
+
+    def test_tail_occlusion(self):
+        # Occlude the right end of the rope (high node indices = tail).
+        from trackdlo_tpu.ops.priors import TAIL_OCCLUDED
+
+        states, errs = self._run((950, 1280))
+        assert TAIL_OCCLUDED in states
+        assert errs[-1] < 0.02
+
+    def test_head_occlusion(self):
+        from trackdlo_tpu.ops.priors import HEAD_OCCLUDED
+
+        states, errs = self._run((0, 330))
+        assert HEAD_OCCLUDED in states
+        assert errs[-1] < 0.02
+
+    def test_both_ends_occlusion(self):
+        from trackdlo_tpu.ops.priors import BOTH_ENDS_OCCLUDED
+
+        params = live_params()
+        intr = CameraIntrinsics()
+        rope = SyntheticRope()
+        tracker = Tracker(params, intr)
+        state = tracker.init_from_nodes(rope.nodes(0.0, params.M))
+        occ = np.ones((intr.height, intr.width), np.uint8) * 255
+        occ[:, :300] = 0
+        occ[:, 980:] = 0
+        states = []
+        for i in range(1, 6):
+            rgb, depth = render_frame(rope, i / 15.0, intr)
+            state, out = tracker.step(state, rgb, depth, occ if i >= 2 else None)
+            states.append(int(out.occlusion_state))
+        gt = rope.nodes(5 / 15.0, params.M)
+        err = np.linalg.norm(np.asarray(state.y) - gt, axis=1).mean()
+        assert BOTH_ENDS_OCCLUDED in states
+        assert err < 0.025

@@ -23,6 +23,13 @@ from trackdlo_tpu.ops.preprocess import default_cell_px, preprocess_frame
 
 
 def _gltp_step(state, rgb, depth, occlusion_mask, *, params, intr, cell_px):
+    import jax as _jax
+
+    use_pallas = (
+        params.use_pallas_estep
+        if params.use_pallas_estep is not None
+        else _jax.default_backend() != "cpu"
+    )
     pc = preprocess_frame(
         rgb, depth, occlusion_mask,
         intr.fx, intr.fy, intr.cx, intr.cy,
@@ -46,6 +53,7 @@ def _gltp_step(state, rgb, depth, occlusion_mask, *, params, intr, cell_px):
             include_lle=True,
             prune_radius=params.prune_radius,
             visibility_threshold=params.visibility_threshold,
+            use_pallas=use_pallas,
         ),
     )
     new_state = TrackerState(
