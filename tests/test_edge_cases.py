@@ -96,3 +96,25 @@ class TestSequenceIO:
         assert len(frames2) == 3
         np.testing.assert_array_equal(frames2[1][0], frames[1][0])
         np.testing.assert_allclose(gt2, gt)
+
+
+class TestMultiColorInit:
+    def test_green_tip_orients_chain(self):
+        # Multi-colour init: the green-tape tip end must come first
+        # (initialize.py:93-97), and the <0.57 m depth gate applies.
+        from trackdlo_tpu.config import eval_params
+        from trackdlo_tpu.dlo_init.api import skeleton_initialize
+
+        params = eval_params()
+        intr = CameraIntrinsics()
+        rope = SyntheticRope()
+        rgb, depth = render_frame(rope, 0.0, intr, markers=10, green_tip=True)
+        nodes = skeleton_initialize(rgb, depth, params, intr)
+        gt = rope.nodes(0.0, params.M)
+        # The renderer paints the tip at the head (arc start): node 0 of the
+        # result must be the head end, not the tail.
+        d_head = np.linalg.norm(nodes[0] - gt[0])
+        d_tail = np.linalg.norm(nodes[0] - gt[-1])
+        assert d_head < d_tail
+        err = np.linalg.norm(nodes - gt, axis=1).mean()
+        assert err < 0.01

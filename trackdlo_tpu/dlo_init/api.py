@@ -41,10 +41,23 @@ def _resample_uniform(points: np.ndarray, m: int) -> np.ndarray:
     return nodes
 
 
+# Green tape bounds marking the DLO tip on the multi-colour evaluation rope
+# (initialize.py:33-36).
+TIP_HSV_LOWER = (58, 130, 50)
+TIP_HSV_UPPER = (90, 255, 89)
+# Depth gate for the multi-colour rope (initialize.py:42, 108-110).
+MULTI_COLOR_MIN_DEPTH = 0.57
+
+
 def skeleton_initialize(
     rgb: np.ndarray, depth: np.ndarray, params, intrinsics, debug_dir: str | None = None
 ) -> np.ndarray:
     """Skeleton-based initialization (initialize.py:52-143).
+
+    With ``params.multi_color_dlo``: the green tape tip joins the
+    segmentation mask, pixels nearer than 0.57 m are gated out, and the chain
+    is oriented so the green-tip end comes FIRST (the reference reverses when
+    the last pixel lands in the tip mask, initialize.py:93-97).
 
     ``debug_dir``: when set, saves per-stage images (mask, skeleton, chains)
     — the headless equivalent of the reference's
@@ -52,8 +65,15 @@ def skeleton_initialize(
     utils.py:170-175).
     """
     from trackdlo_tpu.dlo_init.skeleton import extract_connected_skeleton
+    from trackdlo_tpu.oracle.preprocess import hsv_from_rgb, in_range
 
     mask = segment_dlo(rgb, params.hsv_lower, params.hsv_upper, params.multi_color_dlo)
+    tip_mask = None
+    if params.multi_color_dlo:
+        tip_mask = in_range(hsv_from_rgb(rgb), TIP_HSV_LOWER, TIP_HSV_UPPER)
+        mask = np.maximum(mask, tip_mask)
+        mask[depth < MULTI_COLOR_MIN_DEPTH * 1000] = 0
+
     chains = extract_connected_skeleton(
         mask, seg_length=8, max_curvature=25, debug_dir=debug_dir
     )
@@ -62,12 +82,18 @@ def skeleton_initialize(
         raise ValueError("skeleton extraction produced too few points")
     # Chain coords are (x=col, y=row) pixel pairs (initialize.py:83-92).
     pix = np.asarray(coords, int)
+    if tip_mask is not None:
+        u_last, v_last = pix[-1]
+        if tip_mask[v_last, u_last]:
+            pix = pix[::-1]
     us, vs = pix[:, 0], pix[:, 1]
     z = depth[vs, us].astype(float) / 1000.0
     x = (us - intrinsics.cx) * z / intrinsics.fx
     y = (vs - intrinsics.cy) * z / intrinsics.fy
     pts = np.stack([x, y, z], axis=1)
     pts = pts[np.any(pts != 0, axis=1)]  # drop no-depth pixels (initialize.py:106)
+    if params.multi_color_dlo:
+        pts = pts[pts[:, 2] > MULTI_COLOR_MIN_DEPTH]  # initialize.py:108-110
     if len(pts) < 4:
         raise ValueError("too few skeleton points with valid depth")
     return _resample_uniform(pts, params.num_of_nodes)

@@ -24,6 +24,9 @@ _BG_RGB = np.array([120, 120, 120], dtype=np.uint8)
 # comes from red/yellow tape blobs, evaluator.cpp:153-231).
 _MARKER_RED = np.array([220, 30, 30], dtype=np.uint8)
 _MARKER_YELLOW = np.array([230, 200, 40], dtype=np.uint8)
+# Dark green inside the reference tip-tape band (H 58-90, S>=130, V 50-89,
+# initialize.py:33-36).
+_TIP_GREEN = np.array([30, 85, 30], dtype=np.uint8)
 
 
 @dataclasses.dataclass
@@ -75,6 +78,7 @@ def render_frame(
     depth_noise_mm: float = 0.0,
     seed: int = 0,
     markers: int = 0,
+    green_tip: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Render an aligned RGB-D frame of the rope.
 
@@ -94,6 +98,10 @@ def render_frame(
     vs = pts[:, 1] / pts[:, 2] * intr.fy + intr.cy
 
     colors = np.broadcast_to(_ROPE_RGB, (len(pts), 3)).copy()
+    if green_tip:
+        seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+        arc = np.concatenate([[0.0], np.cumsum(seg)])
+        colors[arc <= 0.025] = _TIP_GREEN  # 25 mm tip band at the head
     if markers:
         seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
         arc = np.concatenate([[0.0], np.cumsum(seg)])
