@@ -77,8 +77,67 @@ def _measure(batch, k_short=8, k_long=40):
     return batch / per_step, per_step * 1000.0
 
 
+def _measure_scan(n_frames=4, k_short=16, k_long=64):
+    """Pure on-device throughput: frames pre-staged on device (the
+    double-buffered-feed production shape), the step chained over them
+    inside ONE jitted lax.scan — no per-step host dispatch at all."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from trackdlo_tpu.config import CameraIntrinsics, live_params
+    from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
+    from trackdlo_tpu.models.trackdlo import _step_impl, init_state
+    from trackdlo_tpu.ops.preprocess import default_cell_px
+
+    params = live_params()
+    intr = CameraIntrinsics()
+    rope = SyntheticRope()
+    cell = default_cell_px(params.downsample_leaf_size, intr.fx)
+    step = functools.partial(_step_impl, params=params, intr=intr, cell_px=cell)
+
+    rgbs, depths = [], []
+    for t in range(n_frames):
+        rgb, depth = render_frame(rope, (t + 1) / 15.0, intr)
+        rgbs.append(rgb)
+        depths.append(depth)
+    rgbs = jnp.asarray(np.stack(rgbs))
+    depths = jnp.asarray(np.stack(depths))
+    occ = jnp.ones((intr.height, intr.width), bool)
+    state0 = init_state(rope.nodes(0.0, params.M), params)
+
+    def run_k(k):
+        @jax.jit
+        def run(s0):
+            def body(s, i):
+                ns, _ = step(s, rgbs[i % n_frames], depths[i % n_frames], occ)
+                return ns, ns.sigma2
+
+            s, _ = jax.lax.scan(body, s0, jnp.arange(k))
+            return s
+
+        s = run(state0)
+        _ = np.asarray(s.y)  # compile + warm, forced completion
+        t0 = time.perf_counter()
+        s = run(state0)
+        y = np.asarray(s.y)
+        assert np.isfinite(y).all()
+        return time.perf_counter() - t0
+
+    t_short = run_k(k_short)
+    t_long = run_k(k_long)
+    per_frame = max((t_long - t_short) / (k_long - k_short), 1e-6)
+    return 1.0 / per_frame, per_frame * 1000.0
+
+
 def _measure_all(batches=(1, 8)):
     results = {}
+    try:
+        fps, ms = _measure_scan()
+        results["ondevice_scan"] = [fps, ms]
+    except Exception as e:
+        results["ondevice_scan_error"] = type(e).__name__
     for batch in batches:
         try:
             fps, ms = _measure(batch)

@@ -275,3 +275,32 @@ class TestOcclusionScenarios:
         err = np.linalg.norm(np.asarray(state.y) - gt, axis=1).mean()
         assert BOTH_ENDS_OCCLUDED in states
         assert err < 0.025
+
+
+class TestSelfOcclusion:
+    def test_tracks_crossing_rope(self):
+        """The self_occlusion scenario: a rope crossing over itself. The far
+        strand is self-occluded at the crossing (painter's algorithm) and
+        tracking survives the overlap."""
+        from trackdlo_tpu.io.sequence import CrossingRope
+
+        params = live_params()
+        intr = CameraIntrinsics()
+        rope = CrossingRope()
+        tracker = Tracker(params, intr)
+        state = tracker.init_from_nodes(rope.nodes(0.0, params.M))
+        saw_self_occlusion = False
+        errs = []
+        for i in range(1, 6):
+            rgb, depth = render_frame(rope, i / 15.0, intr)
+            state, out = tracker.step(state, rgb, depth)
+            gt = rope.nodes(i / 15.0, params.M)
+            errs.append(np.linalg.norm(np.asarray(state.y) - gt, axis=1).mean())
+            nso = np.asarray(out.not_self_occluded)
+            if (~nso).any():
+                # occluded nodes must sit on the far strand (last third).
+                occluded_idx = np.nonzero(~nso)[0]
+                assert occluded_idx.min() >= params.M // 3
+                saw_self_occlusion = True
+        assert saw_self_occlusion
+        assert errs[-1] < 0.02

@@ -171,3 +171,66 @@ def load_sequence(path: str):
     data = np.load(path)
     frames = [(data["rgbs"][i], data["depths"][i]) for i in range(len(data["rgbs"]))]
     return frames, data["gt_nodes"]
+
+
+@dataclasses.dataclass
+class CrossingRope:
+    """A rope crossing over itself: near strand, end arc, far strand back.
+
+    The projection of the two strands intersects mid-image with distinct
+    depths — the self-occlusion scenario of the reference's evaluation
+    (launch/evaluation.launch self_occlusion bag). Same interface as
+    SyntheticRope.
+    """
+
+    half_span: float = 0.3
+    slope: float = 0.11
+    z_near: float = 0.62
+    z_far: float = 0.66
+    arc_radius: float = 0.06
+    sway: float = 0.02
+    n_curve_samples: int = 402
+
+    def curve(self, t: float) -> np.ndarray:
+        n_str = self.n_curve_samples // 3
+        n_arc = self.n_curve_samples - 2 * n_str
+        dy = self.sway * np.sin(2 * np.pi * 0.3 * t)
+
+        # Near strand: lower-left -> upper-right.
+        sa = np.linspace(0.0, 1.0, n_str, endpoint=False)
+        ax = -self.half_span + 2 * self.half_span * sa
+        ay = -self.slope + 2 * self.slope * sa + dy
+        az = np.full(n_str, self.z_near)
+
+        # Right-side arc connecting the strand ends (smooth turn).
+        th = np.linspace(-np.pi / 2, np.pi / 2, n_arc, endpoint=False)
+        cx = self.half_span + self.arc_radius * np.cos(th)
+        cy = (self.slope + dy) - self.arc_radius * (np.sin(th) - 1.0) - self.arc_radius
+        # blend depth across the arc
+        cz = self.z_near + (self.z_far - self.z_near) * (th - th[0]) / (th[-1] - th[0])
+        # place arc to join (half_span, slope+dy, z_near) -> (half_span, ... z_far)
+        cy = np.linspace(self.slope + dy, self.slope + dy, n_arc)  # keep y fixed
+        cx = self.half_span + self.arc_radius * np.sin(
+            np.linspace(0, np.pi, n_arc, endpoint=False)
+        )
+
+        # Far strand: upper-right -> lower-left (crosses the near strand).
+        sb = np.linspace(0.0, 1.0, n_str)
+        bx = self.half_span - 2 * self.half_span * sb
+        by = self.slope - 2 * self.slope * sb - dy
+        bz = np.full(n_str, self.z_far)
+
+        x = np.concatenate([ax, cx, bx])
+        y = np.concatenate([ay, cy, by])
+        z = np.concatenate([az, cz, bz])
+        return np.stack([x, y, z], axis=1)
+
+    def nodes(self, t: float, m: int) -> np.ndarray:
+        c = self.curve(t)
+        seg = np.linalg.norm(np.diff(c, axis=0), axis=1)
+        arc = np.concatenate([[0.0], np.cumsum(seg)])
+        targets = np.linspace(0.0, arc[-1], m)
+        out = np.empty((m, 3))
+        for d in range(3):
+            out[:, d] = np.interp(targets, arc, c[:, d])
+        return out
