@@ -104,7 +104,7 @@ def register_initialize(
 ) -> np.ndarray:
     """GMM cold-start registration initializer (utils.cpp:21-82 +
     sort_pts + spline resample)."""
-    from trackdlo_tpu.oracle.preprocess import voxel_downsample, apply_occlusion_mask
+    from trackdlo_tpu.oracle.preprocess import voxel_downsample
 
     mask = segment_dlo(rgb, params.hsv_lower, params.hsv_upper, params.multi_color_dlo)
     pts = deproject(mask, depth, intrinsics.fx, intrinsics.fy, intrinsics.cx, intrinsics.cy)
