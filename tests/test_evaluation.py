@@ -218,3 +218,27 @@ class TestConfigLoader:
 
         with pytest.raises(KeyError):
             params_from_dict({"nonsense": 1})
+
+
+class TestScenarioRects:
+    def test_fixed_rectangle_scenario(self, setup, tmp_path):
+        # Exercises the hardcoded-rectangle branch (run_evaluation.cpp:235-277)
+        # via a scenario name with a fixed occlusion rect.
+        params, intr, rope = setup
+        frames, gt = [], []
+        for i in range(5):
+            t = i / 15.0
+            frames.append(render_frame(rope, t, intr))
+            gt.append(rope.nodes(t, params.M))
+        tracker = Tracker(params, intr)
+        state = tracker.init_from_nodes(gt[0])
+        config = EvalConfig(
+            scenario="parallel_motion", save_location=str(tmp_path), trial=1,
+        )
+        schedule = OcclusionSchedule(start_record_at=0.0, wait_before_occlusion=0.1)
+        res = run_evaluation(
+            tracker, state, frames, config, intr, gt_nodes=np.array(gt),
+            schedule=schedule,
+        )
+        assert (tmp_path / "trackdlo_1_25_parallel_motion_error.txt").exists()
+        assert res.mean_error < 0.02
