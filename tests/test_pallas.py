@@ -241,3 +241,43 @@ class TestFusedVisibility:
         np.testing.assert_array_equal(
             np.asarray(got.vis_ext_idx)[:ec], np.asarray(ref.vis_ext_idx)[:ec]
         )
+
+
+class TestFusedPreprocess:
+    def test_cell_sums_match_xla(self):
+        import numpy as np
+        from trackdlo_tpu.config import CameraIntrinsics, live_params
+        from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
+        from trackdlo_tpu.ops.preprocess import default_cell_px, preprocess_frame, compact_cells
+        from trackdlo_tpu.ops.preprocess_kernel import cell_sums_pallas
+
+        params = live_params()
+        intr = CameraIntrinsics()
+        rope = SyntheticRope()
+        rgb, depth = render_frame(rope, 1 / 15.0, intr)
+        cell = default_cell_px(params.downsample_leaf_size, intr.fx)
+        occ = np.ones((intr.height, intr.width), bool)
+        occ[:, 500:700] = False  # exercise the occlusion AND too
+
+        ref = preprocess_frame(
+            jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(occ),
+            intr.fx, intr.fy, intr.cx, intr.cy,
+            params.hsv_lower, params.hsv_upper, False, cell, params.max_points,
+            voxel_leaf=params.downsample_leaf_size,
+        )
+        cells, counts = cell_sums_pallas(
+            jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(occ),
+            intr.fx, intr.fy, intr.cx, intr.cy,
+            params.hsv_lower, params.hsv_upper, False, cell, interpret=True,
+        )
+        got = compact_cells(cells, counts, params.max_points,
+                            params.downsample_leaf_size)
+        # f32 summation-order differences can flip borderline points across
+        # voxel boundaries -> compare as point SETS with a small count slack.
+        assert abs(int(got.count) - int(ref.count)) <= 0.02 * int(ref.count)
+        ref_pts = np.asarray(ref.points)[np.asarray(ref.mask)]
+        got_pts = np.asarray(got.points)[np.asarray(got.mask)]
+        d = np.linalg.norm(got_pts[:, None, :] - ref_pts[None, :, :], axis=2)
+        nearest = d.min(axis=1)
+        assert (nearest < 1e-4).mean() > 0.97  # near-identical centroids
+        assert nearest.max() < params.downsample_leaf_size  # boundary flips only

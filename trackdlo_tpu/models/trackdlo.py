@@ -89,23 +89,39 @@ def _step_impl(
     # L2: preprocessing (trackdlo_node.cpp:155-243). With exact_voxels, cell
     # centroids additionally snap to 3-D voxel bins (two-stage). Cells stay
     # at the leaf footprint: halving them costs ~10x in the cell argsort on
-    # TPU for <0.1 mm of parity (perf/microbench.py).
+    # TPU for <0.1 mm of parity (perf/microbench.py). On TPU the
+    # mask→deproject→cell-pool front end is one Pallas kernel
+    # (ops/preprocess_kernel.py).
     eff_cell = cell_px
-    pc = preprocess_frame(
-        rgb,
-        depth,
-        occlusion_mask,
-        intr.fx,
-        intr.fy,
-        intr.cx,
-        intr.cy,
-        params.hsv_lower,
-        params.hsv_upper,
-        params.multi_color_dlo,
-        eff_cell,
-        params.max_points,
-        voxel_leaf=params.downsample_leaf_size if params.exact_voxels else None,
-    )
+    voxel_leaf = params.downsample_leaf_size if params.exact_voxels else None
+    if use_pallas:
+        from trackdlo_tpu.ops.preprocess import compact_cells
+        from trackdlo_tpu.ops.preprocess_kernel import cell_sums_pallas
+
+        cells, counts = cell_sums_pallas(
+            rgb, depth, occlusion_mask,
+            intr.fx, intr.fy, intr.cx, intr.cy,
+            params.hsv_lower, params.hsv_upper, params.multi_color_dlo,
+            eff_cell,
+            interpret=jax.default_backend() != "tpu",
+        )
+        pc = compact_cells(cells, counts, params.max_points, voxel_leaf)
+    else:
+        pc = preprocess_frame(
+            rgb,
+            depth,
+            occlusion_mask,
+            intr.fx,
+            intr.fy,
+            intr.cx,
+            intr.cy,
+            params.hsv_lower,
+            params.hsv_upper,
+            params.multi_color_dlo,
+            eff_cell,
+            params.max_points,
+            voxel_leaf=voxel_leaf,
+        )
 
     # L3: visibility (trackdlo_node.cpp:254-360). On TPU the whole pass runs
     # as one Pallas kernel (ops/visibility_kernel.py).

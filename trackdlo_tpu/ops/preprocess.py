@@ -179,12 +179,23 @@ def preprocess_frame(
     counts = maskf.reshape(ch, cell_px, cw, cell_px).sum(axis=(1, 3)).reshape(-1)
     denom = jnp.maximum(counts, 1.0)
     cells = jnp.stack([pool(px) / denom, pool(py) / denom, pool(z) / denom], axis=1)
+    return compact_cells(cells, counts, max_points, voxel_leaf, candidate_cap)
+
+
+def compact_cells(
+    cells: jnp.ndarray,
+    counts: jnp.ndarray,
+    max_points: int,
+    voxel_leaf: float | None,
+    candidate_cap: int = 4096,
+) -> PointCloud:
+    """Compact cell centroids into the fixed-capacity point set, optionally
+    snapping to voxel bins (shared tail of the XLA and Pallas front ends)."""
     cell_valid = counts > 0
 
-    # Compact valid cells into a fixed-capacity candidate set (ascending cell
-    # index among valid cells; EM results are point-order invariant). Keeping
-    # this narrow-key sort before the voxel snap is faster than sorting all
-    # cells by wide voxel keys directly (measured on v5e).
+    # Ascending cell index among valid cells; EM results are point-order
+    # invariant. Keeping this narrow-key sort before the voxel snap is faster
+    # than sorting all cells by wide voxel keys directly (measured on v5e).
     n_cells = cells.shape[0]
     cap = candidate_cap if voxel_leaf is not None else max_points
     keys = jnp.where(cell_valid, jnp.arange(n_cells, dtype=jnp.int32), n_cells)

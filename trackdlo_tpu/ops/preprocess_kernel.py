@@ -1,0 +1,206 @@
+"""Fused Pallas preprocessing kernel: frame → cell sums in one pass.
+
+Replaces the XLA chain HSV-convert → inRange → occlusion AND → deproject →
+cell-pool (ops/preprocess.py) for the on-device path: one kernel streams the
+720p frame through VMEM in row blocks; each block computes the segmentation
+mask and the deprojected coordinates in-register and bins them into image
+cells with two matmuls per quantity on the MXU (a column-binning constant
+matrix and a per-block row-binning matrix built from iota) — no reshapes, no
+scatters.
+
+Downstream (centroid division, compaction, voxel snap) stays in XLA; see
+ops/preprocess.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW_BLOCK = 64
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _hsv_mask_block(r, g, b, lower, upper, multi_color):
+    """OpenCV-convention HSV in-range test, elementwise on a block."""
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    delta = v - mn
+    delta_safe = jnp.where(delta == 0, 1.0, delta)
+    s = jnp.where(v > 0, delta * 255.0 / jnp.where(v == 0, 1.0, v), 0.0)
+    h = jnp.where(
+        v == r,
+        60.0 * (g - b) / delta_safe,
+        jnp.where(
+            v == g,
+            120.0 + 60.0 * (b - r) / delta_safe,
+            240.0 + 60.0 * (r - g) / delta_safe,
+        ),
+    )
+    h = jnp.where(delta == 0, 0.0, h)
+    h = jnp.where(h < 0, h + 360.0, h) / 2.0
+
+    def in_range(lo, hi):
+        return (
+            (h >= lo[0]) & (h <= hi[0])
+            & (s >= lo[1]) & (s <= hi[1])
+            & (v >= lo[2]) & (v <= hi[2])
+        )
+
+    if not multi_color:
+        return in_range(lower, upper)
+    return (
+        in_range((90, 90, 60), (130, 255, 255))
+        | in_range((130, 60, 50), (255, 255, 255))
+        | in_range((0, 60, 50), (10, 255, 255))
+        | in_range((15, 100, 80), (40, 255, 255))
+    )
+
+
+def _make_kernel(lower, upper, multi_color, fx, fy, cx, cy, cell_px, n_cell_rows_pad):
+    def kernel(
+        r_ref, g_ref, b_ref, depth_ref, occ_ref, colbin_ref,
+        sx_ref, sy_ref, sz_ref, cnt_ref,
+    ):
+        i = pl.program_id(0)
+        rows, width = r_ref.shape
+
+        # Mosaic has no direct u8/u16 -> f32 cast; hop through int32.
+        r = r_ref[:].astype(jnp.int32).astype(jnp.float32)
+        g = g_ref[:].astype(jnp.int32).astype(jnp.float32)
+        b = b_ref[:].astype(jnp.int32).astype(jnp.float32)
+        mask = _hsv_mask_block(r, g, b, lower, upper, multi_color)
+        mask = mask & (occ_ref[:].astype(jnp.int32) > 0)
+        z = depth_ref[:].astype(jnp.int32).astype(jnp.float32) / 1000.0
+        mask = mask & (z > 0)
+        maskf = mask.astype(jnp.float32)
+
+        us = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1).astype(jnp.float32)
+        vs = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, width), 0)
+            + i * ROW_BLOCK
+        ).astype(jnp.float32)
+        x3 = (us - cx) * z / fx
+        y3 = (vs - cy) * z / fy
+
+        # Per-block row-binning matrix: A[c, r] = 1 iff absolute row
+        # i*ROW_BLOCK + r falls in cell row c.
+        c_ids = jax.lax.broadcasted_iota(jnp.int32, (n_cell_rows_pad, rows), 0)
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (n_cell_rows_pad, rows), 1)
+        abs_row = r_ids + i * ROW_BLOCK
+        rowbin = (abs_row // cell_px == c_ids).astype(jnp.float32)
+
+        colbin = colbin_ref[:]
+
+        def bin2d(q):
+            tmp = jax.lax.dot_general(
+                q * maskf, colbin,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (rows, n_cell_cols_pad)
+            return jax.lax.dot_general(
+                rowbin, tmp,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (n_cell_rows_pad, n_cell_cols_pad)
+
+        @pl.when(i == 0)
+        def _init():
+            sx_ref[:] = jnp.zeros_like(sx_ref)
+            sy_ref[:] = jnp.zeros_like(sy_ref)
+            sz_ref[:] = jnp.zeros_like(sz_ref)
+            cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+        sx_ref[:] += bin2d(x3)
+        sy_ref[:] += bin2d(y3)
+        sz_ref[:] += bin2d(z)
+        cnt_ref[:] += bin2d(jnp.ones_like(z))
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fx", "fy", "cx", "cy", "hsv_lower", "hsv_upper", "multi_color_dlo",
+        "cell_px", "interpret",
+    ),
+)
+def cell_sums_pallas(
+    rgb: jnp.ndarray,  # (H, W, 3) uint8
+    depth: jnp.ndarray,  # (H, W) uint16
+    occlusion_mask: jnp.ndarray,  # (H, W) bool
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    hsv_lower,
+    hsv_upper,
+    multi_color_dlo: bool,
+    cell_px: int,
+    interpret: bool = False,
+):
+    """Returns (cells (C, 3) float32 centroids-times-count sums unflattened as
+    sums, counts (C,)) matching ops.preprocess cell pooling, C = cell grid."""
+    h, w = depth.shape
+    h_pad = _round_up(h, ROW_BLOCK)
+    n_cell_rows = -(-h // cell_px)
+    n_cell_cols = -(-w // cell_px)
+    n_cell_rows_pad = _round_up(n_cell_rows, 8)
+    n_cell_cols_pad = _round_up(n_cell_cols, 128)
+
+    r = jnp.zeros((h_pad, w), jnp.uint8).at[:h].set(rgb[..., 0])
+    g = jnp.zeros((h_pad, w), jnp.uint8).at[:h].set(rgb[..., 1])
+    b = jnp.zeros((h_pad, w), jnp.uint8).at[:h].set(rgb[..., 2])
+    d = jnp.zeros((h_pad, w), jnp.uint16).at[:h].set(depth)
+    occ = jnp.zeros((h_pad, w), jnp.uint8).at[:h].set(
+        occlusion_mask.astype(jnp.uint8)
+    )
+
+    # Column-binning constant: colbin[j, j // cell] = 1.
+    cols = np.arange(w)
+    colbin_np = np.zeros((w, n_cell_cols_pad), np.float32)
+    colbin_np[cols, cols // cell_px] = 1.0
+    colbin = jnp.asarray(colbin_np)
+
+    kernel = _make_kernel(
+        tuple(hsv_lower), tuple(hsv_upper), multi_color_dlo,
+        fx, fy, cx, cy, cell_px, n_cell_rows_pad,
+    )
+    grid = (h_pad // ROW_BLOCK,)
+    block = lambda: pl.BlockSpec((ROW_BLOCK, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            block(), block(), block(), block(), block(),
+            pl.BlockSpec((w, n_cell_cols_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (n_cell_rows_pad, n_cell_cols_pad), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_cell_rows_pad, n_cell_cols_pad), jnp.float32)
+        ] * 4,
+        interpret=interpret,
+    )(r, g, b, d, occ, colbin)
+
+    sx, sy, sz, cnt = outs
+    sx = sx[:n_cell_rows, :n_cell_cols].reshape(-1)
+    sy = sy[:n_cell_rows, :n_cell_cols].reshape(-1)
+    sz = sz[:n_cell_rows, :n_cell_cols].reshape(-1)
+    cnt = cnt[:n_cell_rows, :n_cell_cols].reshape(-1)
+    denom = jnp.maximum(cnt, 1.0)
+    cells = jnp.stack([sx / denom, sy / denom, sz / denom], axis=1)
+    return cells, cnt
