@@ -281,3 +281,21 @@ class TestFusedPreprocess:
         nearest = d.min(axis=1)
         assert (nearest < 1e-4).mean() > 0.97  # near-identical centroids
         assert nearest.max() < params.downsample_leaf_size  # boundary flips only
+
+
+class TestCholeskySolver:
+    def test_main_em_cholesky_matches_lu(self, rope_cloud, nodes):
+        base = dict(beta=0.35, lam=50000.0, lle_weight=10.0, mu=0.1,
+                    max_iter=50, tol=0.0002, include_lle=False,
+                    k_vis=50.0, visibility_threshold=0.008, use_visibility=True)
+        xj, xm = _pack(rope_cloud)
+        y = jnp.asarray(nodes)
+        s2 = jnp.asarray(0.001, jnp.float32)
+        vc = jnp.asarray(30, jnp.int32)
+        r_lu = cpd_lle(xj, xm, y, jnp.ones(45, bool), s2,
+                       CpdParams(**base), visible_count=vc)
+        r_ch = cpd_lle(xj, xm, y, jnp.ones(45, bool), s2,
+                       CpdParams(**base, solver="normal_cholesky"),
+                       visible_count=vc)
+        err = np.abs(np.asarray(r_lu.y) - np.asarray(r_ch.y)).max()
+        assert err < 2e-4, err

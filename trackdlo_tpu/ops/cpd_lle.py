@@ -60,6 +60,12 @@ class CpdParams:
     # one-hot elimination loop lowers poorly) — kept as an option for future
     # Mosaic versions / other chips.
     use_fused_mstep: bool = False
+    # M-step solver: "lu" (jnp.linalg.solve; robust, the default) or
+    # "normal_cholesky" (AtA w = At b via Cholesky; looked ~4x faster in a
+    # standalone solver microbench but is indistinguishable from LU inside
+    # the compiled EM loop on v5e, and squares the condition number — kept
+    # as an option only).
+    solver: str = "lu"
     # Kernel family: "mct_geodesic" (the reference C++, trackdlo.cpp:233) or
     # the prototype's "gaussian_geodesic" / "gaussian_euclidean"
     # (tracking_test.py:288-305).
@@ -251,6 +257,15 @@ def _cpd_lle_impl(
     eye = jnp.eye(m, dtype=dtype)
     inactive_rows = ~node_mask
 
+    def _solve(a_mat, b_mat):
+        if params.solver == "normal_cholesky":
+            hp = jax.lax.Precision.HIGHEST
+            ata = jnp.matmul(a_mat.T, a_mat, precision=hp)
+            atb = jnp.matmul(a_mat.T, b_mat, precision=hp)
+            l_chol = jnp.linalg.cholesky(ata)
+            return jax.scipy.linalg.cho_solve((l_chol, True), atb)
+        return jnp.linalg.solve(a_mat, b_mat)
+
     def em_iteration(y_cur, s2):
         sq_d = pairwise_sq_dists(y_cur, x)  # (M, N)
 
@@ -302,7 +317,7 @@ def _cpd_lle_impl(
         # and their displacement exactly zero.
         a_mat = jnp.where(pair_mask, a_mat, eye)
         b_mat = jnp.where(node_mask[:, None], b_mat, 0.0)
-        w = jnp.linalg.solve(a_mat, b_mat)
+        w = _solve(a_mat, b_mat)
 
         t = y0 + g @ w
 
@@ -407,7 +422,7 @@ def _cpd_lle_impl(
             b_mat = b_mat + params.alpha * prior_disp
         a_mat = jnp.where(pair_mask, a_mat, eye)
         b_mat = jnp.where(node_mask[:, None], b_mat, 0.0)
-        w = jnp.linalg.solve(a_mat, b_mat)
+        w = _solve(a_mat, b_mat)
         t = y0 + g @ w
 
         tr_pxtt = jnp.sum(px * t)
