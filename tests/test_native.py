@@ -75,3 +75,67 @@ class TestFrameFeeder:
         for i in range(7):
             np.testing.assert_array_equal(out[i][0], frames[i][0])
             np.testing.assert_array_equal(out[i][1], frames[i][1])
+
+
+class TestFeederCloseUnderConcurrentConsumer:
+    def test_close_releases_blocked_consumer(self, tmp_path):
+        """ADVICE r1: a consumer blocked in tdlo_feeder_next must be released
+        by close() (the cv_full wait predicate now observes stop) instead of
+        deadlocking while close() joins/frees underneath it.
+
+        Deterministic setup: the sequence is a FIFO that delivers the header
+        plus ONE frame then stalls, so the producer thread blocks in fread on
+        frame 1 and a consumer asking for frame 1 blocks in cv_full.wait —
+        exactly the state the old predicate could never leave.
+        """
+        import os
+        import struct
+        import threading
+
+        h, w, n_frames = 4, 4, 3
+        frame_bytes = h * w * 3 + h * w * 2
+        fifo = str(tmp_path / "seq.tdlo")
+        os.mkfifo(fifo)
+
+        writer_fd = {}
+
+        def write_header_and_one_frame():
+            fd = os.open(fifo, os.O_WRONLY)  # blocks until the reader opens
+            writer_fd["fd"] = fd
+            os.write(fd, struct.pack("<5I", 0x4F4C4454, 1, n_frames, h, w))
+            os.write(fd, b"\x07" * frame_bytes)  # frame 0 only
+
+        wt = threading.Thread(target=write_header_and_one_frame)
+        wt.start()
+        feeder = native.FrameFeeder(fifo, n_slots=2)
+        wt.join(timeout=10)
+        assert not wt.is_alive()
+        assert feeder.n_frames == n_frames
+
+        consumed = []
+
+        def consume():
+            for rgb, depth in feeder:  # frame 0 arrives; frame 1 blocks
+                consumed.append(rgb[0, 0, 0])
+
+        ct = threading.Thread(target=consume)
+        ct.start()
+
+        # Wait until the consumer has frame 0 and is blocked on frame 1.
+        for _ in range(500):
+            if consumed:
+                break
+            threading.Event().wait(0.01)
+        assert consumed == [7]
+
+        # close() must release the blocked consumer. The producer itself is
+        # stuck in fread on the FIFO, so unblock it by closing the writer.
+        closer = threading.Thread(target=feeder.close)
+        closer.start()
+        threading.Event().wait(0.05)
+        os.close(writer_fd["fd"])  # EOF -> producer's fread returns
+
+        ct.join(timeout=10)
+        closer.join(timeout=10)
+        assert not ct.is_alive(), "consumer deadlocked in feeder_next"
+        assert not closer.is_alive(), "close() never returned"

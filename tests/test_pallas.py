@@ -299,3 +299,43 @@ class TestCholeskySolver:
                        visible_count=vc)
         err = np.abs(np.asarray(r_lu.y) - np.asarray(r_ch.y)).max()
         assert err < 2e-4, err
+
+
+class TestFusedVisibilityEmptySentinel:
+    def test_zero_visible_sentinel_matches_xla(self):
+        """ADVICE r1: empty packed slots must carry the same m-1 sentinel as
+        pack_indices so both paths dispatch the same occlusion state."""
+        import numpy as np
+        from trackdlo_tpu.config import CameraIntrinsics, live_params
+        from trackdlo_tpu.io.sequence import SyntheticRope
+        from trackdlo_tpu.oracle.geometry import geodesic_coords
+        from trackdlo_tpu.ops.visibility import compute_visibility
+        from trackdlo_tpu.ops.visibility_kernel import fused_visibility
+
+        params = live_params()
+        intr = CameraIntrinsics()
+        rope = SyntheticRope()
+        y = rope.nodes(0.0, params.M).astype(np.float32)
+        coord = geodesic_coords(y).astype(np.float32)
+        # Cloud far from every node -> zero visible nodes.
+        xp = np.full((64, 3), 5.0, np.float32)
+        xm = np.ones(64, bool)
+        args = (
+            jnp.asarray(y), jnp.asarray(xp), jnp.asarray(xm),
+            jnp.asarray(intr.proj_matrix(), jnp.float32), jnp.asarray(coord),
+        )
+        ref = compute_visibility(
+            *args, intr.height, intr.width,
+            params.visibility_threshold, params.dlo_pixel_width, params.d_vis,
+        )
+        got = fused_visibility(
+            *args, intr.height, intr.width,
+            params.visibility_threshold, params.dlo_pixel_width, params.d_vis,
+            interpret=True,
+        )
+        assert int(ref.vis_count) == int(got.vis_count) == 0
+        assert int(ref.vis_ext_count) == int(got.vis_ext_count) == 0
+        np.testing.assert_array_equal(np.asarray(got.vis_idx), np.asarray(ref.vis_idx))
+        np.testing.assert_array_equal(
+            np.asarray(got.vis_ext_idx), np.asarray(ref.vis_ext_idx)
+        )

@@ -13,6 +13,7 @@ from trackdlo_tpu.ops.priors import (
     BOTH_ENDS_OCCLUDED,
     HEAD_OCCLUDED,
     MID_SECTION_OCCLUDED,
+    NO_VISIBLE_NODES,
     TAIL_OCCLUDED,
     correspondence_priors,
 )
@@ -52,7 +53,7 @@ def oracle_priors(y, coord, vis, vis_ext):
 
 def jax_priors(y, coord, vis, vis_ext):
     guide = np.zeros((M, 3), np.float32)
-    guide[: len(vis_ext)] = y[np.array(vis_ext)]
+    guide[: len(vis_ext)] = y[np.array(vis_ext, dtype=int)]
     vis_ext_idx = np.zeros(M, np.int32)
     vis_ext_idx[: len(vis_ext)] = vis_ext
     vis_idx = np.zeros(M, np.int32)
@@ -180,3 +181,46 @@ def jax_priors_displaced(y, guide_full, coord, vis_ext):
         jnp.asarray(len(vis_ext), jnp.int32),
     )
     return np.asarray(res.prior_pos), np.asarray(res.prior_mask)
+
+
+class TestZeroVisibleNodes:
+    """ADVICE r1 (medium): vis_ext_count == 0 must yield NO priors and a
+    dedicated state, not a spurious origin prior on node M-1."""
+
+    def test_no_priors_and_dedicated_state(self, chain):
+        y, coord = chain
+        got_pos, got_mask, got_state = jax_priors(y, coord, [], [])
+        assert got_state == NO_VISIBLE_NODES
+        assert not got_mask.any(), np.nonzero(got_mask)
+
+    def test_oracle_classifies_empty(self):
+        from trackdlo_tpu.oracle.tracking import classify_occlusion
+
+        assert classify_occlusion([], M) == NO_VISIBLE_NODES
+
+    def test_full_step_on_fully_occluded_frame_stays_finite(self):
+        """End-to-end: a frame where every node is beyond the visibility
+        threshold must not pull any node toward the camera origin."""
+        import jax.numpy as jnp
+        from trackdlo_tpu.config import CameraIntrinsics, live_params
+        from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
+        from trackdlo_tpu.models.trackdlo import Tracker
+
+        intr = CameraIntrinsics(
+            fx=120.0, fy=120.0, cx=80.0, cy=60.0, width=160, height=120
+        )
+        params = live_params(max_points=256, downsample_cell_px=4)
+        rope = SyntheticRope()
+        tracker = Tracker(params, intr)
+        state0 = tracker.init_from_nodes(rope.nodes(0.0, params.M))
+        # Shift the tracker state far from the cloud so every node fails the
+        # visibility threshold but the pruned cloud is still non-empty for
+        # some nodes' prune radius -> zero visible, non-degenerate frame.
+        far = state0._replace(y=state0.y + jnp.asarray([0.0, 0.0, 0.09]))
+        rgb, depth = render_frame(rope, 0.0, intr, rope_pixel_radius=3)
+        new_state, out = tracker.step(far, rgb, depth)
+        assert int(out.occlusion_state) == NO_VISIBLE_NODES
+        assert not np.asarray(out.prior_mask).any()
+        assert np.isfinite(np.asarray(new_state.y)).all()
+        # No node may have been dragged to the camera origin.
+        assert np.linalg.norm(np.asarray(new_state.y), axis=1).min() > 0.05

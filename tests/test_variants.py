@@ -113,3 +113,29 @@ class TestKernelVariants:
         gt = SyntheticRope().nodes(1.0 / 15.0, 45)
         err = np.linalg.norm(np.asarray(got.y) - gt, axis=1).mean()
         assert err < 0.01
+
+
+class TestPallasVariantGuard:
+    """ADVICE r1: use_pallas must not silently change the algorithm for
+    prototype kernel variants — those must fall back to the XLA iteration."""
+
+    @pytest.mark.parametrize(
+        "kernel,use_geo",
+        [("gaussian_euclidean", False), ("gaussian_geodesic", True)],
+    )
+    def test_pallas_flag_matches_xla_for_variants(self, rope_cloud, kernel, use_geo):
+        y0 = SyntheticRope().nodes(0.0, 45)
+        xj, xm = _pack(rope_cloud)
+        base = dict(
+            beta=0.7, lam=5.0, lle_weight=1.0, mu=0.05, max_iter=20, tol=1e-4,
+            include_lle=True, kernel=kernel, use_geodesic_redistance=use_geo,
+        )
+        ref = cpd_lle(
+            xj, xm, jnp.asarray(y0, jnp.float32), jnp.ones(45, bool),
+            jnp.asarray(0.001, jnp.float32), CpdParams(**base, use_pallas=False),
+        )
+        got = cpd_lle(
+            xj, xm, jnp.asarray(y0, jnp.float32), jnp.ones(45, bool),
+            jnp.asarray(0.001, jnp.float32), CpdParams(**base, use_pallas=True),
+        )
+        np.testing.assert_array_equal(np.asarray(got.y), np.asarray(ref.y))

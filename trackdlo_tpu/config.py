@@ -103,10 +103,16 @@ class TrackerParams:
     lle_k: int = 6
     # Initial sigma^2 after node initialization (trackdlo_node.cpp:133).
     sigma2_init: float = 0.001
-    # Fused Pallas E-step: None = auto (enabled for dense clouds,
-    # max_points >= 16384, where streaming the point axis through VMEM beats
-    # the XLA path ~9x on v5e); True/False forces it.
+    # Fused Pallas E-step: None = auto (enabled on any non-CPU backend — one
+    # kernel per EM iteration beats the ~15-launch XLA path at every size on
+    # v5e, perf/stage_scan_bench.py; CPU stays on the XLA path since Pallas
+    # interpret mode is far slower there); True/False forces it.
     use_pallas_estep: bool | None = None
+    # M-step solver: "lu" (fastest) or "lstsq" (SVD minimum-norm least
+    # squares — the reference's completeOrthogonalDecomposition semantics,
+    # trackdlo.cpp:415; robust to sigma^2-collapse-induced ill-conditioning).
+    # See ops/cpd_lle.CpdParams.solver.
+    solver: str = "lu"
 
     @property
     def M(self) -> int:

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 
-class RosTrackerNode:  # pragma: no cover - requires a ROS runtime
+class RosTrackerNode:  # covered by tests/test_ros_adapter.py with stubbed ROS
     def __init__(
         self,
         params,

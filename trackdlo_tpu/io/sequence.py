@@ -202,17 +202,14 @@ class CrossingRope:
         ay = -self.slope + 2 * self.slope * sa + dy
         az = np.full(n_str, self.z_near)
 
-        # Right-side arc connecting the strand ends (smooth turn).
-        th = np.linspace(-np.pi / 2, np.pi / 2, n_arc, endpoint=False)
-        cx = self.half_span + self.arc_radius * np.cos(th)
-        cy = (self.slope + dy) - self.arc_radius * (np.sin(th) - 1.0) - self.arc_radius
-        # blend depth across the arc
-        cz = self.z_near + (self.z_far - self.z_near) * (th - th[0]) / (th[-1] - th[0])
-        # place arc to join (half_span, slope+dy, z_near) -> (half_span, ... z_far)
-        cy = np.linspace(self.slope + dy, self.slope + dy, n_arc)  # keep y fixed
-        cx = self.half_span + self.arc_radius * np.sin(
-            np.linspace(0, np.pi, n_arc, endpoint=False)
-        )
+        # Right-side arc connecting the strand ends: a half-sine bulge in x
+        # at fixed y, with depth blending linearly z_near -> z_far so the turn
+        # smoothly joins (half_span, slope+dy, z_near) to the far strand's
+        # start (half_span, slope-dy ~ slope+dy, z_far).
+        arc_s = np.linspace(0.0, 1.0, n_arc, endpoint=False)
+        cx = self.half_span + self.arc_radius * np.sin(np.pi * arc_s)
+        cy = np.full(n_arc, self.slope + dy)
+        cz = self.z_near + (self.z_far - self.z_near) * arc_s
 
         # Far strand: upper-right -> lower-left (crosses the near strand).
         sb = np.linspace(0.0, 1.0, n_str)

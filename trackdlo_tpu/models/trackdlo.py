@@ -193,6 +193,7 @@ def _step_impl(
             prune_radius=params.prune_radius,
             visibility_threshold=params.visibility_threshold,
             use_pallas=use_pallas,
+            solver=params.solver,
         ),
         axis_name=model_axis,
     )
@@ -231,6 +232,7 @@ def _step_impl(
             use_priors=True,
             use_visibility=True,
             use_pallas=use_pallas,
+            solver=params.solver,
         ),
         prior_pos=priors.prior_pos,
         prior_mask=priors.prior_mask,
@@ -317,6 +319,25 @@ class Tracker:
         return self.init_from_nodes(nodes)
 
     def step(self, state: TrackerState, rgb, depth, occlusion_mask=None):
+        """One tracking update. NOTE: ``state``'s device buffers are DONATED
+        to the step (zero-copy state threading); do not reuse the passed-in
+        state object afterwards — thread the returned state instead."""
+        h, w = self.intrinsics.height, self.intrinsics.width
+        rgb_shape = tuple(np.shape(rgb))
+        depth_shape = tuple(np.shape(depth))
+        if rgb_shape != (h, w, 3):
+            raise ValueError(
+                f"rgb must be ({h}, {w}, 3) u8 for these intrinsics, got {rgb_shape}"
+            )
+        if depth_shape != (h, w):
+            raise ValueError(
+                f"depth must be ({h}, {w}) u16 millimetres, got {depth_shape}"
+            )
+        y_shape = tuple(np.shape(state.y))
+        if y_shape != (self.params.num_of_nodes, 3):
+            raise ValueError(
+                f"state.y must be ({self.params.num_of_nodes}, 3), got {y_shape}"
+            )
         if occlusion_mask is None:
             if self._full_occ is None:
                 self._full_occ = jnp.ones(

@@ -21,10 +21,15 @@ _lib = None
 
 
 def build(force: bool = False) -> str:
-    """Compile the native library (g++ -O3; a few seconds)."""
-    if os.path.exists(_LIB_PATH) and not force:
-        return _LIB_PATH
+    """Compile the native library (g++ -O3; a few seconds). Rebuilds when the
+    source is newer than the existing .so."""
     src = os.path.join(_DIR, "preprocess.cpp")
+    if (
+        os.path.exists(_LIB_PATH)
+        and not force
+        and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src)
+    ):
+        return _LIB_PATH
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
         "-pthread", src, "-o", _LIB_PATH,

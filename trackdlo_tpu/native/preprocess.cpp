@@ -11,6 +11,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cmath>
 #include <condition_variable>
 #include <cstdint>
@@ -179,6 +180,9 @@ struct Feeder {
   std::condition_variable cv_full, cv_empty;
   std::thread worker;
   std::atomic<bool> stop{false};
+  // Consumers currently inside tdlo_feeder_next; close() drains this before
+  // freeing the Feeder so a released waiter never touches freed state.
+  std::atomic<int> consumers{0};
 };
 
 static void feeder_loop(Feeder* fd) {
@@ -233,16 +237,19 @@ void* tdlo_feeder_open(const char* path, int n_slots, uint32_t* out_n_frames,
   return fd;
 }
 
-// Blocks until the next frame is prefetched; copies it out. Returns the frame
-// index, or -1 at end of sequence.
-int tdlo_feeder_next(void* handle, uint8_t* out_rgb, uint16_t* out_depth) {
-  Feeder* fd = (Feeder*)handle;
+static int feeder_next_impl(Feeder* fd, uint8_t* out_rgb, uint16_t* out_depth) {
   if (fd->next_to_consume >= fd->n_frames) return -1;
   uint32_t frame = fd->next_to_consume;
   int slot = frame % fd->n_slots;
   {
     std::unique_lock<std::mutex> lk(fd->mu);
-    fd->cv_full.wait(lk, [&] { return fd->slot_frame[slot] == (int)frame; });
+    // The predicate must observe stop: otherwise a consumer blocked here is
+    // never released by close()'s notify_all and close() joins/deletes while
+    // the consumer still waits on freed state.
+    fd->cv_full.wait(lk, [&] {
+      return fd->stop.load() || fd->slot_frame[slot] == (int)frame;
+    });
+    if (fd->stop.load()) return -1;
   }
   size_t rgb_bytes = (size_t)fd->height * fd->width * 3;
   memcpy(out_rgb, fd->slots[slot].data(), rgb_bytes);
@@ -257,11 +264,27 @@ int tdlo_feeder_next(void* handle, uint8_t* out_rgb, uint16_t* out_depth) {
   return (int)frame;
 }
 
+// Blocks until the next frame is prefetched; copies it out. Returns the frame
+// index, or -1 at end of sequence / after close().
+int tdlo_feeder_next(void* handle, uint8_t* out_rgb, uint16_t* out_depth) {
+  Feeder* fd = (Feeder*)handle;
+  fd->consumers.fetch_add(1);
+  int r = feeder_next_impl(fd, out_rgb, out_depth);
+  fd->consumers.fetch_sub(1);
+  return r;
+}
+
 void tdlo_feeder_close(void* handle) {
   Feeder* fd = (Feeder*)handle;
   fd->stop.store(true);
   fd->cv_empty.notify_all();
   fd->cv_full.notify_all();
+  // Drain concurrent consumers before freeing: a waiter released by the
+  // notify above must fully leave tdlo_feeder_next first.
+  while (fd->consumers.load() > 0) {
+    fd->cv_full.notify_all();
+    std::this_thread::sleep_for(std::chrono::milliseconds(1));
+  }
   if (fd->worker.joinable()) fd->worker.join();
   fclose(fd->f);
   delete fd;

@@ -60,11 +60,16 @@ class CpdParams:
     # one-hot elimination loop lowers poorly) — kept as an option for future
     # Mosaic versions / other chips.
     use_fused_mstep: bool = False
-    # M-step solver: "lu" (jnp.linalg.solve; robust, the default) or
-    # "normal_cholesky" (AtA w = At b via Cholesky; looked ~4x faster in a
-    # standalone solver microbench but is indistinguishable from LU inside
-    # the compiled EM loop on v5e, and squares the condition number — kept
-    # as an option only).
+    # M-step solver:
+    # - "lu" (jnp.linalg.solve; the default — fastest, fine while A is
+    #   well-conditioned);
+    # - "lstsq" (SVD minimum-norm least squares = the reference's
+    #   completeOrthogonalDecomposition().solve semantics, trackdlo.cpp:415 —
+    #   robust when sigma^2 collapse makes A near-singular);
+    # - "normal_cholesky" (AtA w = At b via Cholesky; looked ~4x faster in a
+    #   standalone solver microbench but is indistinguishable from LU inside
+    #   the compiled EM loop on v5e, and squares the condition number — kept
+    #   as an option only).
     solver: str = "lu"
     # Kernel family: "mct_geodesic" (the reference C++, trackdlo.cpp:233) or
     # the prototype's "gaussian_geodesic" / "gaussian_euclidean"
@@ -264,6 +269,14 @@ def _cpd_lle_impl(
             atb = jnp.matmul(a_mat.T, b_mat, precision=hp)
             l_chol = jnp.linalg.cholesky(ata)
             return jax.scipy.linalg.cho_solve((l_chol, True), atb)
+        if params.solver == "lstsq":
+            # Minimum-norm least squares: the jittable equivalent of the
+            # reference's rank-revealing COD solve (trackdlo.cpp:415). Unlike
+            # LU, a (near-)singular A yields the min-norm solution instead of
+            # amplified noise/inf.
+            return jnp.linalg.lstsq(a_mat, b_mat)[0]
+        if params.solver != "lu":
+            raise ValueError(f"unknown solver {params.solver!r}")
         return jnp.linalg.solve(a_mat, b_mat)
 
     def em_iteration(y_cur, s2):
@@ -434,7 +447,14 @@ def _cpd_lle_impl(
         delta = move / jnp.maximum(v_count, 1)
         return t, s2_new, delta
 
-    if params.use_pallas:
+    # The fused kernels hardcode the reference's MCT-geodesic E-step; the
+    # prototype variants (gaussian kernels / no geodesic re-distance) must
+    # take the XLA iteration even when use_pallas is set, or they would
+    # silently compute a different algorithm.
+    pallas_supports_variant = (
+        params.kernel == "mct_geodesic" and params.use_geodesic_redistance
+    )
+    if params.use_pallas and pallas_supports_variant:
         if params.use_fused_mstep and axis_name is None:
             iteration = em_iteration_pallas
         else:

@@ -29,6 +29,11 @@ MID_SECTION_OCCLUDED = 1
 TAIL_OCCLUDED = 2
 HEAD_OCCLUDED = 3
 BOTH_ENDS_OCCLUDED = 4
+# Zero extended-visible nodes (fast-motion / full-occlusion frame). The
+# reference crashes here (indexes an empty vector at trackdlo.cpp:933); we
+# define the behavior instead: a distinct state with NO priors, so the main
+# EM runs unconstrained rather than being pulled toward a bogus origin prior.
+NO_VISIBLE_NODES = 5
 
 _EPS_BETWEEN = 1e-4  # isBetween slack (utils.cpp:176)
 
@@ -202,6 +207,10 @@ def correspondence_priors(
             ),
         ),
     )
+    # v == 0: the packed index lists are all sentinels, so the branches above
+    # would misclassify (first_ext == last_ext == sentinel) and the walks
+    # would anchor at garbage. Route to the dedicated no-priors state.
+    state = jnp.where(v == 0, NO_VISIBLE_NODES, state)
 
     # Consecutive runs in the extended-visible list.
     in_prefix = iota < v
@@ -322,6 +331,10 @@ def correspondence_priors(
             ),
         ),
     )
+    # No extended-visible nodes -> no priors at all (the walks' outputs are
+    # meaningless); without this gate the dispatch emitted a spurious valid
+    # prior at the origin for node M-1, silently corrupting the EM.
+    prior_mask = prior_mask & (v > 0)
 
     return PriorResult(
         prior_pos=prior_pos,

@@ -206,7 +206,10 @@ def _visibility_kernel(
             ).astype(jnp.float32)
             packed = jnp.sum(place * idx_lane, axis=1, keepdims=True)
             any_at = jnp.sum(place, axis=1, keepdims=True)
-            out_ref[:] = jnp.where(any_at > 0, packed, 0.0)
+            # Empty slots carry m-1, matching ops/visibility.pack_indices'
+            # clipped sentinel, so both paths dispatch identically when the
+            # packed count is 0.
+            out_ref[:] = jnp.where(any_at > 0, packed, scalars_ref[3, 0] - 1.0)
 
         pack(visible_f, vis_idx_ref)
         pack(extended, ext_idx_ref)

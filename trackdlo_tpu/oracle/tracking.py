@@ -19,6 +19,10 @@ MID_SECTION_OCCLUDED = 1
 TAIL_OCCLUDED = 2
 HEAD_OCCLUDED = 3
 BOTH_ENDS_OCCLUDED = 4
+# Zero visible nodes: the reference crashes (empty-vector index at
+# trackdlo.cpp:933); defined here as a distinct no-priors state matching
+# ops/priors.NO_VISIBLE_NODES.
+NO_VISIBLE_NODES = 5
 
 
 @dataclasses.dataclass
@@ -34,6 +38,8 @@ class TrackingStepResult:
 def classify_occlusion(visible_nodes_extended: list[int], m: int) -> int:
     """Which of the five occlusion cases applies (trackdlo.cpp:929-981)."""
     v = visible_nodes_extended
+    if len(v) == 0:
+        return NO_VISIBLE_NODES
     if len(v) == m:
         return ALL_VISIBLE
     if v[0] == 0 and v[-1] == m - 1:
@@ -82,6 +88,25 @@ def tracking_step(
     ``params`` is a :class:`trackdlo_tpu.config.TrackerParams`.
     """
     m = len(y)
+
+    if len(visible_nodes_extended) == 0:
+        # No visible nodes at all: no guides, no priors; run the main EM
+        # unconstrained (defined behavior where the reference crashes).
+        main = cpd_lle(
+            x, y, sigma2,
+            params.beta, params.lam, params.lle_weight, params.mu,
+            params.max_iter, params.tol,
+            include_lle=False,
+            prune_radius=params.prune_radius,
+        )
+        return TrackingStepResult(
+            y=main.y,
+            sigma2=main.sigma2,
+            guide_nodes=np.zeros((0, 3)),
+            correspondence_priors=np.zeros((0, 4)),
+            occlusion_state=NO_VISIBLE_NODES,
+            converged=main.converged,
+        )
 
     # Guide nodes = previous node positions at the extended-visible indices
     # (trackdlo.cpp:913-921).

@@ -64,6 +64,7 @@ OCCLUSION_STATE_NAMES = {
     2: "Tail occluded",
     3: "Head occluded",
     4: "Both ends occluded",
+    5: "No visible nodes",
 }
 
 
