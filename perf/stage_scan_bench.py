@@ -6,7 +6,11 @@ slope between two K values after a device->host fetch. This is immune to
 async dispatch, tunnel latency, and overlap.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -99,6 +99,11 @@ class TrackerParams:
     # on device at the cost of one small argsort. False = single-stage cell
     # pooling (fastest, slightly coarser parity).
     exact_voxels: bool = True
+    # Split cell pooling into 8 voxel-parity channels so cells straddling
+    # voxel boundaries emit separate candidates — recovers PCL VoxelGrid
+    # semantics essentially exactly (candidate occupancy == oracle voxel
+    # occupancy; see perf/cell_parity_sweep.py). Costs ~4x the pooling work.
+    parity_split: bool = False
     # LLE chain neighbourhood size k (trackdlo.cpp:236 hardcodes 6).
     lle_k: int = 6
     # Initial sigma^2 after node initialization (trackdlo_node.cpp:133).

@@ -51,18 +51,50 @@ def _blob_centers(mask: np.ndarray, min_area: float = 10.0) -> np.ndarray:
     return np.array(centers).reshape(-1, 2)
 
 
+# --- per-scenario GT spatial gates (evaluator.cpp:204-227) -----------------
+# The reference hand-tunes per-bag filters that reject spurious blob
+# deprojections (reflections, table clutter). Each gate maps (N, 3) points to
+# a keep-mask. Bag indices per launch/evaluation.launch:14-19.
+
+
+def _gate_depth(pts, min_z=0.58):
+    return pts[:, 2] >= min_z
+
+
+def _gate_perpendicular(pts):  # bag 1 (evaluator.cpp:216-221)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    drop = ((x < 0.0) & (y < 0.05)) | (z < 0.58) | (x < -0.2) | ((x < 0.1) & (y < -0.05))
+    return ~drop
+
+
+def _gate_parallel(pts):  # bag 2 (evaluator.cpp:210-214)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    return ~((x < -0.15) | (y < -0.15) | (z < 0.58))
+
+
+SCENARIO_GT_GATES = {
+    "perpendicular_motion": _gate_perpendicular,
+    "parallel_motion": _gate_parallel,
+    # every other bag: plain depth gate (evaluator.cpp:223-227)
+    "default": _gate_depth,
+}
+
+
 def extract_marker_ground_truth(
     rgb: np.ndarray,
     depth: np.ndarray,
     intrinsics,
     head: np.ndarray | None = None,
     min_depth: float = 0.0,
+    gate=None,
 ) -> np.ndarray:
     """Ground-truth node set from tape-marker blobs, ordered into a chain.
 
     The reference deprojects each keypoint through the organized cloud and
-    gates by per-bag spatial filters (evaluator.cpp:204-227); here the gate
-    is a minimum depth. ``head`` anchors the chain orientation
+    gates by per-bag spatial filters (evaluator.cpp:204-227), reproduced here
+    as ``gate``: a (N, 3) → keep-mask predicate (see SCENARIO_GT_GATES), or a
+    scenario name to look one up. ``min_depth`` is the synthetic-scene
+    fallback gate. ``head`` anchors the chain orientation
     (evaluator.cpp:141-143, run_evaluation.cpp:96-109).
     """
     centers = _blob_centers(marker_mask(rgb))
@@ -75,6 +107,10 @@ def extract_marker_ground_truth(
     y = (vs - intrinsics.cy) * z / intrinsics.fy
     pts = np.stack([x, y, z], axis=1)
     pts = pts[z > max(min_depth, 1e-6)]
+    if isinstance(gate, str):
+        gate = SCENARIO_GT_GATES.get(gate, SCENARIO_GT_GATES["default"])
+    if gate is not None and len(pts):
+        pts = pts[np.asarray(gate(pts), bool)]
     if len(pts) < 2:
         return pts
     return sort_pts(pts, head=head)

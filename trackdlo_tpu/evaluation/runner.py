@@ -33,6 +33,16 @@ class EvalConfig:
     rate: float = 1.0
     dt: float = 1.0 / 15.0
     min_gt_depth: float = 0.0
+    # Per-scenario GT spatial gate (evaluator.cpp:204-227): a scenario name
+    # looked up in SCENARIO_GT_GATES, a callable (N,3)->mask, or None.
+    # "auto" resolves from `scenario` (real-recording gates; synthetic scenes
+    # keep min_gt_depth only).
+    gt_gate: object = None
+    # Annotated eval-image output (run_evaluation.cpp:314-388): every
+    # image_interval_s of sequence time (the reference uses 0.5 s; 1.0 s for
+    # the pct-occlusion scenario).
+    save_images: bool = False
+    image_interval_s: float = 0.5
 
     @property
     def error_filename(self) -> str:
@@ -71,10 +81,14 @@ def run_evaluation(
     schedule = schedule or OcclusionSchedule.for_scenario(config.scenario, config.rate)
     proj = intrinsics.proj_matrix()
     h, w = intrinsics.height, intrinsics.width
+    gate = config.gt_gate
+    if gate == "auto":
+        gate = config.scenario
 
     head = None
     times, errors, trajs, gt_sizes = [], [], [], []
     lines = []
+    next_image_t = 0.0
     for i, (rgb, depth) in enumerate(frames):
         t = (i + 1) * config.dt / config.rate
         if schedule.finished(t):
@@ -84,7 +98,8 @@ def run_evaluation(
             y_true = np.asarray(gt_nodes[i])
         else:
             y_true = extract_marker_ground_truth(
-                rgb, depth, intrinsics, head=head, min_depth=config.min_gt_depth
+                rgb, depth, intrinsics, head=head,
+                min_depth=config.min_gt_depth, gate=gate,
             )
             if len(y_true) >= 2:
                 head = y_true[0]
@@ -110,6 +125,33 @@ def run_evaluation(
             errors.append(err)
             gt_sizes.append(len(y_true))
             lines.append(f"{t - schedule.start_record_at:.6f} {err:.6f}\n")
+
+        # Annotated eval frames every image_interval_s of sequence time
+        # (run_evaluation.cpp:314-388).
+        if config.save_images and config.save_location and t >= next_image_t:
+            from trackdlo_tpu.utils.viz import draw_tracking_overlay
+
+            os.makedirs(config.save_location, exist_ok=True)
+            img = draw_tracking_overlay(
+                rgb, y_track, proj,
+                visible=np.asarray(out.not_self_occluded),
+                occlusion_mask=occlusion_mask,
+            )
+            fname = (
+                f"{config.alg}_{config.trial}_{config.pct_occlusion}_"
+                f"{config.scenario}_{t:06.2f}.png"
+            )
+            try:
+                import cv2
+
+                cv2.imwrite(
+                    os.path.join(config.save_location, fname), img[..., ::-1]
+                )
+            except ImportError:  # pragma: no cover
+                import numpy as _np
+
+                _np.save(os.path.join(config.save_location, fname + ".npy"), img)
+            next_image_t = t + config.image_interval_s
 
     if config.save_errors and config.save_location and lines:
         os.makedirs(config.save_location, exist_ok=True)

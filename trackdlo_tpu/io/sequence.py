@@ -60,14 +60,18 @@ class SyntheticRope:
 
     def nodes(self, t: float, m: int) -> np.ndarray:
         """M nodes uniformly spaced in arc length along the curve."""
-        c = self.curve(t)
-        seg = np.linalg.norm(np.diff(c, axis=0), axis=1)
-        arc = np.concatenate([[0.0], np.cumsum(seg)])
-        targets = np.linspace(0.0, arc[-1], m)
-        out = np.empty((m, 3))
-        for d in range(3):
-            out[:, d] = np.interp(targets, arc, c[:, d])
-        return out
+        return resample_nodes(self.curve(t), m)
+
+
+def resample_nodes(curve_pts: np.ndarray, m: int) -> np.ndarray:
+    """M points uniformly spaced in arc length along a sampled curve."""
+    seg = np.linalg.norm(np.diff(curve_pts, axis=0), axis=1)
+    arc = np.concatenate([[0.0], np.cumsum(seg)])
+    targets = np.linspace(0.0, arc[-1], m)
+    out = np.empty((m, 3))
+    for d in range(3):
+        out[:, d] = np.interp(targets, arc, curve_pts[:, d])
+    return out
 
 
 def render_frame(
@@ -231,3 +235,90 @@ class CrossingRope:
         for d in range(3):
             out[:, d] = np.interp(targets, arc, c[:, d])
         return out
+
+
+@dataclasses.dataclass
+class MovingRope:
+    """Rigid sinusoidal translation of a base rope.
+
+    The perpendicular_motion / parallel_motion evaluation scenarios
+    (launch/evaluation.launch:15-16): a robot arm sweeps the rope across
+    (perpendicular to) or along (parallel to) its own axis while a fixed
+    occlusion rectangle hides whatever part of the rope passes through it
+    (run_evaluation.cpp:235-258). Same interface as SyntheticRope.
+    """
+
+    base: SyntheticRope = dataclasses.field(default_factory=SyntheticRope)
+    axis: tuple = (0.0, 1.0, 0.0)
+    amplitude: float = 0.10
+    period: float = 8.0
+    offset: tuple = (0.0, 0.0, 0.0)
+    # Fraction of the base rope's own wiggle speed retained during the sweep
+    # (pure rigid translation when 0).
+    base_motion: float = 0.25
+
+    def curve(self, t: float) -> np.ndarray:
+        shift = self.amplitude * np.sin(2 * np.pi * t / self.period)
+        off = np.asarray(self.offset) + shift * np.asarray(self.axis, float)
+        return self.base.curve(t * self.base_motion) + off
+
+    def nodes(self, t: float, m: int) -> np.ndarray:
+        return resample_nodes(self.curve(t), m)
+
+
+@dataclasses.dataclass
+class FoldingRope:
+    """A rope folding in half over time (short_rope_folding analog,
+    launch/evaluation.launch:18).
+
+    Parametrized by heading angle along arc length: the heading turns by
+    ``pi - alpha(t)`` through a smooth bend at the midpoint, so alpha = pi is
+    a straight rope and alpha -> alpha_min a closed hairpin. The second arm
+    ramps ``z_sep`` behind the first so the fold stays resolvable in depth
+    (as a real rope folds onto the table next to itself). Same interface as
+    SyntheticRope.
+    """
+
+    length: float = 0.38
+    depth: float = 0.655
+    alpha_min: float = 0.30
+    fold_start: float = 0.5
+    fold_duration: float = 6.0
+    unfold: bool = False  # fold back out after fold_duration
+    bend_sharpness: float = 10.0  # heading-turn concentration at the midpoint
+    z_sep: float = 0.012
+    sway: float = 0.01
+    center: tuple = (-0.04, 0.0)
+    n_curve_samples: int = 400
+
+    def _alpha(self, t: float) -> float:
+        u = (t - self.fold_start) / self.fold_duration
+        if self.unfold:
+            u = 1.0 - abs(1.0 - 2.0 * np.clip(u, 0.0, 1.0))
+        u = np.clip(u, 0.0, 1.0)
+        # Smoothstep fold progression.
+        u = u * u * (3 - 2 * u)
+        return np.pi + (self.alpha_min - np.pi) * u
+
+    def curve(self, t: float) -> np.ndarray:
+        n = self.n_curve_samples
+        s = np.linspace(0.0, 1.0, n)
+        turn = np.pi - self._alpha(t)
+        # Heading turns by `turn` through a tanh-smoothed bend at s=0.5.
+        phi = turn * 0.5 * (1.0 + np.tanh(self.bend_sharpness * (s - 0.5)))
+        ds = self.length / (n - 1)
+        x = np.concatenate([[0.0], np.cumsum(np.cos(phi[:-1]) * ds)])
+        y = np.concatenate([[0.0], np.cumsum(np.sin(phi[:-1]) * ds)])
+        # Depth separation ramps over the bend region.
+        z = self.depth + self.z_sep * 0.5 * (1.0 + np.tanh(
+            self.bend_sharpness * (s - 0.5)
+        ))
+        y = y + self.sway * np.sin(2 * np.pi * 0.25 * t) * np.sin(np.pi * s)
+        pts = np.stack([x, y, z], axis=1)
+        # Keep the folding rope centred in the frame.
+        pts[:, 0] += self.center[0] - pts[:, 0].mean()
+        pts[:, 1] += self.center[1] - pts[:, 1].mean()
+        return pts
+
+    def nodes(self, t: float, m: int) -> np.ndarray:
+        return resample_nodes(self.curve(t), m)

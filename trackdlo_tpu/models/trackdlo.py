@@ -65,6 +65,15 @@ def init_state(init_nodes, params: TrackerParams) -> TrackerState:
     )
 
 
+def _resolve_use_pallas(params: TrackerParams) -> bool:
+    if params.use_pallas_estep is not None:
+        return params.use_pallas_estep
+    # Auto: the fused kernel wins on TPU at every size (one kernel per EM
+    # iteration vs ~15 launches, perf/stage_scan_bench.py); interpret
+    # mode on CPU is far slower than the XLA path, so stay off there.
+    return jax.default_backend() != "cpu"
+
+
 def _step_impl(
     state: TrackerState,
     rgb: jnp.ndarray,
@@ -76,15 +85,8 @@ def _step_impl(
     cell_px: int,
     model_axis: str | None = None,
 ):
-    m = params.num_of_nodes
     proj = jnp.asarray(np.array(intr.proj_matrix(), np.float32))
-    if params.use_pallas_estep is not None:
-        use_pallas = params.use_pallas_estep
-    else:
-        # Auto: the fused kernel wins on TPU at every size (one kernel per EM
-        # iteration vs ~15 launches, perf/stage_scan_bench.py); interpret
-        # mode on CPU is far slower than the XLA path, so stay off there.
-        use_pallas = jax.default_backend() != "cpu"
+    use_pallas = _resolve_use_pallas(params)
 
     # L2: preprocessing (trackdlo_node.cpp:155-243). With exact_voxels, cell
     # centroids additionally snap to 3-D voxel bins (two-stage). Cells stay
@@ -104,8 +106,13 @@ def _step_impl(
             params.hsv_lower, params.hsv_upper, params.multi_color_dlo,
             eff_cell,
             interpret=jax.default_backend() != "tpu",
+            parity_split=params.parity_split and voxel_leaf is not None,
+            voxel_leaf=voxel_leaf,
         )
-        pc = compact_cells(cells, counts, params.max_points, voxel_leaf)
+        pc = compact_cells(
+            cells, counts, params.max_points, voxel_leaf,
+            candidate_cap=8192 if params.parity_split else 4096,
+        )
     else:
         pc = preprocess_frame(
             rgb,
@@ -121,7 +128,30 @@ def _step_impl(
             eff_cell,
             params.max_points,
             voxel_leaf=voxel_leaf,
+            candidate_cap=8192 if params.parity_split else 4096,
+            parity_split=params.parity_split,
         )
+
+    return _track_from_points(
+        state, pc, proj,
+        params=params, intr=intr, use_pallas=use_pallas, model_axis=model_axis,
+    )
+
+
+def _track_from_points(
+    state: TrackerState,
+    pc,
+    proj: jnp.ndarray,
+    *,
+    params: TrackerParams,
+    intr: CameraIntrinsics,
+    use_pallas: bool,
+    model_axis: str | None = None,
+):
+    """Visibility → pre-registration → priors → main EM on a prepared point
+    cloud (the post-preprocess tail of the per-frame step; also the public
+    entry for callers with their own point source, see Tracker.step_from_points)."""
+    m = params.num_of_nodes
 
     # L3: visibility (trackdlo_node.cpp:254-360). On TPU the whole pass runs
     # as one Pallas kernel (ops/visibility_kernel.py).
@@ -294,6 +324,7 @@ class Tracker:
         self.params = params
         self.intrinsics = intrinsics
         self._step = build_step_fn(params, intrinsics)
+        self._step_points = None
         self._full_occ = None
 
     def init_from_nodes(self, nodes) -> TrackerState:
@@ -349,3 +380,34 @@ class Tracker:
             if occ.ndim == 3:
                 occ = occ.any(axis=-1)
         return self._step(state, jnp.asarray(rgb), jnp.asarray(depth), occ)
+
+    def step_from_points(self, state: TrackerState, points):
+        """One tracking update from a caller-supplied (N, 3) point cloud,
+        skipping the RGB-D preprocessing (for sensors that already produce a
+        segmented cloud, or for parity experiments). Points beyond
+        ``params.max_points`` are dropped."""
+        if self._step_points is None:
+            from trackdlo_tpu.ops.preprocess import PointCloud
+
+            proj = jnp.asarray(np.array(self.intrinsics.proj_matrix(), np.float32))
+            use_pallas = _resolve_use_pallas(self.params)
+
+            def fn(st, pts, msk):
+                pc = PointCloud(
+                    points=pts, mask=msk, count=jnp.sum(msk.astype(jnp.int32))
+                )
+                return _track_from_points(
+                    st, pc, proj,
+                    params=self.params, intr=self.intrinsics,
+                    use_pallas=use_pallas,
+                )
+
+            self._step_points = jax.jit(fn, donate_argnums=(0,))
+
+        cap = self.params.max_points
+        pts = np.zeros((cap, 3), np.float32)
+        msk = np.zeros((cap,), bool)
+        arr = np.asarray(points, np.float32)[:cap]
+        pts[: len(arr)] = arr
+        msk[: len(arr)] = True
+        return self._step_points(state, jnp.asarray(pts), jnp.asarray(msk))

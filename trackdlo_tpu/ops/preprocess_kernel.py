@@ -65,7 +65,10 @@ def _hsv_mask_block(r, g, b, lower, upper, multi_color):
     )
 
 
-def _make_kernel(lower, upper, multi_color, fx, fy, cx, cy, cell_px, n_cell_rows_pad):
+def _make_kernel(
+    lower, upper, multi_color, fx, fy, cx, cy, cell_px, n_cell_rows_pad,
+    parity_split=False, inv_leaf=0.0,
+):
     def kernel(
         r_ref, g_ref, b_ref, depth_ref, occ_ref, colbin_ref,
         sx_ref, sy_ref, sz_ref, cnt_ref,
@@ -100,9 +103,9 @@ def _make_kernel(lower, upper, multi_color, fx, fy, cx, cy, cell_px, n_cell_rows
 
         colbin = colbin_ref[:]
 
-        def bin2d(q):
+        def bin2d(q, weight):
             tmp = jax.lax.dot_general(
-                q * maskf, colbin,
+                q * weight, colbin,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (rows, n_cell_cols_pad)
@@ -119,10 +122,32 @@ def _make_kernel(lower, upper, multi_color, fx, fy, cx, cy, cell_px, n_cell_rows
             sz_ref[:] = jnp.zeros_like(sz_ref)
             cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
-        sx_ref[:] += bin2d(x3)
-        sy_ref[:] += bin2d(y3)
-        sz_ref[:] += bin2d(z)
-        cnt_ref[:] += bin2d(jnp.ones_like(z))
+        if not parity_split:
+            sx_ref[:] += bin2d(x3, maskf)
+            sy_ref[:] += bin2d(y3, maskf)
+            sz_ref[:] += bin2d(z, maskf)
+            cnt_ref[:] += bin2d(jnp.ones_like(z), maskf)
+        else:
+            # 8 voxel-parity channels (floor(coord/leaf) mod 2 per axis): a
+            # cell straddling a voxel boundary splits into per-voxel
+            # candidates, making the downstream snap exactly PCL VoxelGrid
+            # (see ops/preprocess.preprocess_frame parity_split).
+            par_x = jnp.floor(x3 * inv_leaf).astype(jnp.int32) & 1
+            par_y = jnp.floor(y3 * inv_leaf).astype(jnp.int32) & 1
+            par_z = jnp.floor(z * inv_leaf).astype(jnp.int32) & 1
+            ones = jnp.ones_like(z)
+            for ci in range(8):
+                bx, by, bz = (ci >> 2) & 1, (ci >> 1) & 1, ci & 1
+                ch = (
+                    maskf
+                    * (par_x == bx).astype(jnp.float32)
+                    * (par_y == by).astype(jnp.float32)
+                    * (par_z == bz).astype(jnp.float32)
+                )
+                sx_ref[ci] = sx_ref[ci] + bin2d(x3, ch)
+                sy_ref[ci] = sy_ref[ci] + bin2d(y3, ch)
+                sz_ref[ci] = sz_ref[ci] + bin2d(z, ch)
+                cnt_ref[ci] = cnt_ref[ci] + bin2d(ones, ch)
 
     return kernel
 
@@ -131,7 +156,7 @@ def _make_kernel(lower, upper, multi_color, fx, fy, cx, cy, cell_px, n_cell_rows
     jax.jit,
     static_argnames=(
         "fx", "fy", "cx", "cy", "hsv_lower", "hsv_upper", "multi_color_dlo",
-        "cell_px", "interpret",
+        "cell_px", "interpret", "parity_split", "voxel_leaf",
     ),
 )
 def cell_sums_pallas(
@@ -147,15 +172,21 @@ def cell_sums_pallas(
     multi_color_dlo: bool,
     cell_px: int,
     interpret: bool = False,
+    parity_split: bool = False,
+    voxel_leaf: float | None = None,
 ):
-    """Returns (cells (C, 3) float32 centroids-times-count sums unflattened as
-    sums, counts (C,)) matching ops.preprocess cell pooling, C = cell grid."""
+    """Returns (cells (C, 3) float32 centroids, counts (C,)) matching
+    ops.preprocess cell pooling, C = cell grid (x8 channels when
+    ``parity_split``; see ops/preprocess.preprocess_frame)."""
     h, w = depth.shape
     h_pad = _round_up(h, ROW_BLOCK)
     n_cell_rows = -(-h // cell_px)
     n_cell_cols = -(-w // cell_px)
     n_cell_rows_pad = _round_up(n_cell_rows, 8)
     n_cell_cols_pad = _round_up(n_cell_cols, 128)
+    n_ch = 8 if parity_split else 1
+    if parity_split:
+        assert voxel_leaf is not None and voxel_leaf > 0
 
     r = jnp.zeros((h_pad, w), jnp.uint8).at[:h].set(rgb[..., 0])
     g = jnp.zeros((h_pad, w), jnp.uint8).at[:h].set(rgb[..., 1])
@@ -174,9 +205,17 @@ def cell_sums_pallas(
     kernel = _make_kernel(
         tuple(hsv_lower), tuple(hsv_upper), multi_color_dlo,
         fx, fy, cx, cy, cell_px, n_cell_rows_pad,
+        parity_split=parity_split,
+        inv_leaf=(1.0 / voxel_leaf) if parity_split else 0.0,
     )
     grid = (h_pad // ROW_BLOCK,)
     block = lambda: pl.BlockSpec((ROW_BLOCK, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if parity_split:
+        out_block = (n_ch, n_cell_rows_pad, n_cell_cols_pad)
+        out_index = lambda i: (0, 0, 0)
+    else:
+        out_block = (n_cell_rows_pad, n_cell_cols_pad)
+        out_index = lambda i: (0, 0)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -185,22 +224,20 @@ def cell_sums_pallas(
             pl.BlockSpec((w, n_cell_cols_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (n_cell_rows_pad, n_cell_cols_pad), lambda i: (0, 0),
-                memory_space=pltpu.VMEM,
-            )
+            pl.BlockSpec(out_block, out_index, memory_space=pltpu.VMEM)
         ] * 4,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_cell_rows_pad, n_cell_cols_pad), jnp.float32)
-        ] * 4,
+        out_shape=[jax.ShapeDtypeStruct(out_block, jnp.float32)] * 4,
         interpret=interpret,
     )(r, g, b, d, occ, colbin)
 
     sx, sy, sz, cnt = outs
-    sx = sx[:n_cell_rows, :n_cell_cols].reshape(-1)
-    sy = sy[:n_cell_rows, :n_cell_cols].reshape(-1)
-    sz = sz[:n_cell_rows, :n_cell_cols].reshape(-1)
-    cnt = cnt[:n_cell_rows, :n_cell_cols].reshape(-1)
+    if parity_split:
+        # Channel-major flattening matching the XLA path's concatenation
+        # order (ops/preprocess.preprocess_frame parity loop).
+        trim = lambda a: a[:, :n_cell_rows, :n_cell_cols].reshape(-1)
+    else:
+        trim = lambda a: a[:n_cell_rows, :n_cell_cols].reshape(-1)
+    sx, sy, sz, cnt = trim(sx), trim(sy), trim(sz), trim(cnt)
     denom = jnp.maximum(cnt, 1.0)
     cells = jnp.stack([sx / denom, sy / denom, sz / denom], axis=1)
     return cells, cnt

@@ -36,9 +36,17 @@ def step_frame(
     params,
     intrinsics,
     occlusion_mask: np.ndarray | None = None,
+    points: np.ndarray | None = None,
 ) -> tuple[OracleState, TrackingStepResult, dict]:
-    """One full frame: preprocess → visibility → tracking_step."""
-    x = preprocess_frame(rgb, depth, params, intrinsics, occlusion_mask)
+    """One full frame: preprocess → visibility → tracking_step.
+
+    ``points`` overrides the preprocessing output (parity experiments:
+    running the oracle's f64 math on the jitted path's point cloud isolates
+    downsample detail from float-precision effects)."""
+    if points is not None:
+        x = np.asarray(points, dtype=float)
+    else:
+        x = preprocess_frame(rgb, depth, params, intrinsics, occlusion_mask)
 
     vis = compute_visibility(
         state.y,
