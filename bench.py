@@ -136,6 +136,67 @@ def _measure_scan(n_frames=16, k_short=16, k_long=64):
     return 1.0 / per_frame, per_frame * 1000.0
 
 
+def _measure_scan_batched(batch=8, n_frames=4, k_short=8, k_long=32):
+    """On-device multi-stream throughput: the vmapped step chained inside ONE
+    jitted lax.scan over pre-staged frame batches — the "fill the chip with
+    streams" number, free of per-step host dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from trackdlo_tpu.config import CameraIntrinsics, live_params
+    from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
+    from trackdlo_tpu.models.trackdlo import init_state
+    from trackdlo_tpu.parallel.sharding import build_batched_step_fn, replicate_state
+    import functools
+
+    from trackdlo_tpu.models.trackdlo import _step_impl
+    from trackdlo_tpu.ops.preprocess import default_cell_px
+
+    params = live_params()
+    intr = CameraIntrinsics()
+    rope = SyntheticRope()
+    cell = default_cell_px(params.downsample_leaf_size, intr.fx)
+    step = functools.partial(_step_impl, params=params, intr=intr, cell_px=cell)
+    vstep = jax.vmap(step)
+
+    rgbs, depths = [], []
+    for t in range(n_frames):
+        rb, db = [], []
+        for b in range(batch):
+            rgb, depth = render_frame(rope, (t + 1) / 15.0 + 0.003 * b, intr)
+            rb.append(rgb)
+            db.append(depth)
+        rgbs.append(np.stack(rb))
+        depths.append(np.stack(db))
+    rgbs = jnp.asarray(np.stack(rgbs))  # (F, B, H, W, 3)
+    depths = jnp.asarray(np.stack(depths))
+    occ = jnp.ones((batch, intr.height, intr.width), bool)
+    state0 = replicate_state(init_state(rope.nodes(0.0, params.M), params), batch)
+
+    def run_k(k):
+        @jax.jit
+        def run(s0):
+            def body(s, i):
+                ns, _ = vstep(s, rgbs[i % n_frames], depths[i % n_frames], occ)
+                return ns, ns.sigma2
+
+            s, _ = jax.lax.scan(body, s0, jnp.arange(k))
+            return s
+
+        s = run(state0)
+        _ = np.asarray(s.y)
+        t0 = time.perf_counter()
+        s = run(state0)
+        y = np.asarray(s.y)
+        assert np.isfinite(y).all()
+        return time.perf_counter() - t0
+
+    t_short = run_k(k_short)
+    t_long = run_k(k_long)
+    per_step = max((t_long - t_short) / (k_long - k_short), 1e-6)
+    return batch / per_step, per_step * 1000.0
+
+
 def _measure_all(batches=(1, 8)):
     results = {}
     try:
@@ -143,6 +204,12 @@ def _measure_all(batches=(1, 8)):
         results["ondevice_scan"] = [fps, ms]
     except Exception as e:
         results["ondevice_scan_error"] = type(e).__name__
+    for b in (8, 16):
+        try:
+            fps, ms = _measure_scan_batched(batch=b)
+            results[f"ondevice_scan_b{b}"] = [fps, ms]
+        except Exception as e:
+            results[f"ondevice_scan_b{b}_error"] = type(e).__name__
     for batch in batches:
         try:
             fps, ms = _measure(batch)

@@ -125,3 +125,35 @@ class TestProfilingAndCheckpoint:
         s2_a, _ = tracker.step(state, rgb, depth)
         s2_b, _ = tracker.step(restored, rgb, depth)
         np.testing.assert_allclose(np.asarray(s2_a.y), np.asarray(s2_b.y), atol=1e-7)
+
+
+class TestLiveView:
+    def test_records_video_frames(self, tmp_path):
+        """rviz/tracking.rviz equivalent: overlay + cloud dots per frame,
+        recorded to a video file."""
+        import numpy as np
+
+        from trackdlo_tpu.config import CameraIntrinsics, live_params
+        from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
+        from trackdlo_tpu.models.trackdlo import Tracker
+        from trackdlo_tpu.tools.live_view import LiveView
+
+        intr = CameraIntrinsics(
+            fx=120.0, fy=120.0, cx=80.0, cy=60.0, width=160, height=120
+        )
+        params = live_params(max_points=256, downsample_cell_px=4)
+        rope = SyntheticRope()
+        tracker = Tracker(params, intr)
+        state = tracker.init_from_nodes(rope.nodes(0.0, params.M))
+        out_file = str(tmp_path / "view.mp4")
+        view = LiveView(tracker, out_path=out_file)
+        for i in range(1, 4):
+            rgb, depth = render_frame(rope, i / 15.0, intr, rope_pixel_radius=3)
+            state, out = tracker.step(state, rgb, depth)
+            img = view.show(rgb, state, out)
+            assert img.shape == (intr.height, intr.width, 3)
+        view.close()
+        assert view.frames_shown == 3
+        import os
+
+        assert os.path.getsize(out_file) > 0

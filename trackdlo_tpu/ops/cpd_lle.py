@@ -33,6 +33,41 @@ _BIG = 1e5
 _TWO_PI = 6.283185307179586
 
 
+@jax.custom_batching.custom_vmap
+def _solve_lu(a_mat: jnp.ndarray, b_mat: jnp.ndarray) -> jnp.ndarray:
+    """M-step solve with a batch-aware TPU path.
+
+    Unbatched: plain LU. Under jax.vmap (multi-stream tracking):
+    jnp.linalg.solve lowers to batch-SEQUENTIAL LU on TPU (~17 us per 48x48
+    matrix — ~80% of per-iteration EM cost at batch 8), so the vmap rule
+    reroutes to one Pallas Gauss-Jordan kernel solving every system in a
+    single 48-step elimination (ops/pallas_kernels.gauss_jordan_solve_batched).
+    """
+    return jnp.linalg.solve(a_mat, b_mat)
+
+
+@_solve_lu.def_vmap
+def _solve_lu_vmap_rule(axis_size, in_batched, a_mat, b_mat):
+    a_b, b_b = in_batched
+    if not a_b:
+        a_mat = jnp.broadcast_to(a_mat, (axis_size,) + a_mat.shape)
+    if not b_b:
+        b_mat = jnp.broadcast_to(b_mat, (axis_size,) + b_mat.shape)
+    if jax.default_backend() == "tpu":
+        from trackdlo_tpu.ops.pallas_kernels import gauss_jordan_solve_batched
+
+        # Flatten any extra leading batch dims (nested vmap).
+        lead = a_mat.shape[:-2]
+        m = a_mat.shape[-1]
+        k = b_mat.shape[-1]
+        a2 = a_mat.reshape((-1, m, m))
+        b2 = b_mat.reshape((-1, m, k))
+        out = gauss_jordan_solve_batched(a2, b2).reshape(lead + (m, k))
+    else:
+        out = jnp.linalg.solve(a_mat, b_mat)
+    return out, True
+
+
 @dataclasses.dataclass(frozen=True)
 class CpdParams:
     """Static hyperparameters of one EM pass (trace-time constants)."""
@@ -277,7 +312,7 @@ def _cpd_lle_impl(
             return jnp.linalg.lstsq(a_mat, b_mat)[0]
         if params.solver != "lu":
             raise ValueError(f"unknown solver {params.solver!r}")
-        return jnp.linalg.solve(a_mat, b_mat)
+        return _solve_lu(a_mat, b_mat)
 
     def em_iteration(y_cur, s2):
         sq_d = pairwise_sq_dists(y_cur, x)  # (M, N)
