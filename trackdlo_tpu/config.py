@@ -170,7 +170,12 @@ def live_params(**overrides) -> TrackerParams:
 
 
 def eval_params(**overrides) -> TrackerParams:
-    """The reference's evaluation profile (launch/trackdlo_eval.launch:27-59)."""
+    """The reference's evaluation profile (launch/trackdlo_eval.launch:27-59).
+
+    parity_split is on: evaluation/parity comparisons want the exact PCL
+    VoxelGrid clouds (0.35 mm closed-loop oracle parity vs 2.4 mm without;
+    perf/parity_decomposition.py) at ~3x the preprocessing cost. The live
+    profile keeps the faster cell pooling."""
     base = TrackerParams(
         num_of_nodes=40,
         beta=0.5,
@@ -179,6 +184,7 @@ def eval_params(**overrides) -> TrackerParams:
         dlo_pixel_width=30,
         downsample_leaf_size=0.005,
         multi_color_dlo=True,
+        parity_split=True,
     )
     return dataclasses.replace(base, **overrides)
 
