@@ -224,3 +224,49 @@ class TestZeroVisibleNodes:
         assert np.isfinite(np.asarray(new_state.y)).all()
         # No node may have been dragged to the camera origin.
         assert np.linalg.norm(np.asarray(new_state.y), axis=1).min() > 0.05
+
+
+class TestFusedWalksKernel:
+    """pursuit_walks_fused (one Pallas kernel) vs the vmapped scan walks,
+    across every dispatch case (interpret mode on CPU)."""
+
+    @pytest.mark.parametrize(
+        "vis",
+        [
+            list(range(M)),                                 # all visible
+            list(range(0, 18)) + list(range(30, M)),        # mid-section
+            list(range(0, 28)),                             # tail occluded
+            list(range(12, M)),                             # head occluded
+            list(range(8, 37)),                             # both ends
+            [0, 1, 2, 3, 22, 41, 42, 43, 44],               # island
+            [21],                                           # single node
+        ],
+    )
+    def test_matches_scan_walks(self, chain, vis):
+        y, coord = chain
+        guide = np.zeros((M, 3), np.float32)
+        guide[: len(vis)] = y[np.array(vis, dtype=int)]
+        idxs = np.zeros(M, np.int32)
+        idxs[: len(vis)] = vis
+        args = (
+            jnp.asarray(y, jnp.float32),
+            jnp.asarray(coord, jnp.float32),
+            jnp.asarray(guide),
+            jnp.asarray(idxs),
+            jnp.asarray(len(vis), jnp.int32),
+            jnp.asarray(idxs),
+            jnp.asarray(len(vis), jnp.int32),
+        )
+        ref = correspondence_priors(*args)
+        got = correspondence_priors(*args, use_pallas=True, interpret=True)
+        assert int(ref.state) == int(got.state)
+        np.testing.assert_array_equal(
+            np.asarray(got.prior_mask), np.asarray(ref.prior_mask)
+        )
+        err = (
+            np.linalg.norm(
+                np.asarray(got.prior_pos) - np.asarray(ref.prior_pos), axis=1
+            )
+            * np.asarray(ref.prior_mask)
+        )
+        assert err.max() < 1e-5, err.max()

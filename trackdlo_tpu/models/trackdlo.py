@@ -238,6 +238,8 @@ def _track_from_points(
         vis.vis_ext_count,
         vis.vis_idx,
         vis.vis_count,
+        use_pallas=use_pallas,
+        interpret=jax.default_backend() != "tpu",
     )
 
     # L4c: main EM (trackdlo.cpp:997-998).

@@ -708,3 +708,189 @@ def gauss_jordan_solve_batched(a, b, interpret: bool = False):
         interpret=interpret,
     )(ab)
     return w[:, :m, :k]
+
+
+# ---------------------------------------------------------------------------
+# Fused correspondence-prior walks.
+#
+# The four pure-pursuit walks (ops/priors.pursuit_walk) are sequential scans
+# of M-1 steps whose XLA loop body costs ~3.4 us/step on TPU (multiple
+# fusions per iteration) — ~150 us/frame. This kernel runs all four walks'
+# full loops in-register: walks on sublane rows 0-3, segments/nodes on
+# lanes, one fori_loop — no per-step kernel boundaries.
+# ---------------------------------------------------------------------------
+
+
+def _walks_kernel(m_int, eps,
+                  ax_ref, ay_ref, az_ref, bx_ref, by_ref, bz_ref, seglen_ref,
+                  anchor_ref,  # (8, 128): lanes 0-2 = anchor xyz per walk row
+                  scal_ref,  # (8, 128): lanes 0..4 = start_guide, seg_hi,
+                  #            outer_hi, start_node, count (per walk row)
+                  ox_ref, oy_ref, oz_ref, ov_ref):
+    m = float(m_int)
+    rows, width = ax_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+    lane_f = lane.astype(jnp.float32)
+
+    def lanesel(arr, idx):
+        """arr[(w, idx[w])] -> (rows, 1) via one-hot reduce (idx (rows,1))."""
+        return jnp.sum(
+            jnp.where(lane_f == idx, arr, 0.0), axis=1, keepdims=True
+        )
+
+    # Segment s endpoints (host-shifted: a = guide[:-1], b = guide[1:]).
+    ax, ay, az = ax_ref[:], ay_ref[:], az_ref[:]
+    bx, by, bz = bx_ref[:], by_ref[:], bz_ref[:]
+
+    abx, aby, abz = bx - ax, by - ay, bz - az
+    qa = abx * abx + aby * aby + abz * abz
+    qb0 = 2.0 * (abx * ax + aby * ay + abz * az)
+    aa0 = ax * ax + ay * ay + az * az
+    lox, hix = jnp.minimum(ax, bx) - eps, jnp.maximum(ax, bx) + eps
+    loy, hiy = jnp.minimum(ay, by) - eps, jnp.maximum(ay, by) + eps
+    loz, hiz = jnp.minimum(az, bz) - eps, jnp.maximum(az, bz) + eps
+
+    startg = scal_ref[:, 0:1]
+    seghi = scal_ref[:, 1:2]
+    outerhi = scal_ref[:, 2:3]
+    startnode = scal_ref[:, 3:4]
+    count = scal_ref[:, 4:5]
+    seg_exists = (lane_f < count - 1.0).astype(jnp.float32)
+
+    cx0 = anchor_ref[:, 0:1]
+    cy0 = anchor_ref[:, 1:2]
+    cz0 = anchor_ref[:, 2:3]
+
+    anchor_oh = (lane_f == startnode).astype(jnp.float32)
+    ox = anchor_oh * cx0
+    oy = anchor_oh * cy0
+    oz = anchor_oh * cz0
+    ov = anchor_oh
+
+    def step(_, carry):
+        last_found, node_pos, cx, cy, cz, alive, ox, oy, oz, ov = carry
+        alive_t = alive * (last_found <= outerhi).astype(jnp.float32) * (
+            node_pos + 1.0 <= m - 1.0
+        ).astype(jnp.float32)
+        look = lanesel(seglen_ref[:], jnp.clip(node_pos, 0.0, m - 2.0))
+
+        qb = qb0 - 2.0 * (abx * cx + aby * cy + abz * cz)
+        qc = aa0 - 2.0 * (ax * cx + ay * cy + az * cz) + (
+            cx * cx + cy * cy + cz * cz
+        ) - look * look
+        delta = qb * qb - 4.0 * qa * qc
+        sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+        qa_s = jnp.where(qa == 0.0, 1.0, qa)
+        d1 = (-qb + sq) / (2.0 * qa_s)
+        d2 = (-qb - sq) / (2.0 * qa_s)
+        p1x, p1y, p1z = ax + d1 * abx, ay + d1 * aby, az + d1 * abz
+        p2x, p2y, p2z = ax + d2 * abx, ay + d2 * aby, az + d2 * abz
+        btw1 = ((p1x >= lox) & (p1x <= hix) & (p1y >= loy) & (p1y <= hiy)
+                & (p1z >= loz) & (p1z <= hiz))
+        btw2 = ((p2x >= lox) & (p2x <= hix) & (p2y >= loy) & (p2y <= hiy)
+                & (p2z >= loz) & (p2z <= hiz))
+        v1 = (delta >= 0.0) & btw1 & (qa > 0.0)
+        v2 = (delta > 0.0) & btw2 & (qa > 0.0)
+        cnt = v1.astype(jnp.float32) + v2.astype(jnp.float32)
+        d1b = jnp.sqrt((p1x - bx) ** 2 + (p1y - by) ** 2 + (p1z - bz) ** 2)
+        d2b = jnp.sqrt((p2x - bx) ** 2 + (p2y - by) ** 2 + (p2z - bz) ** 2)
+        dcb = jnp.sqrt((cx - bx) ** 2 + (cy - by) ** 2 + (cz - bz) ** 2)
+        psx = jnp.where(v1, p1x, p2x)
+        psy = jnp.where(v1, p1y, p2y)
+        psz = jnp.where(v1, p1z, p2z)
+        dsb = jnp.where(v1, d1b, d2b)
+        acceptable = (cnt == 2.0) | ((cnt == 1.0) & (dsb <= dcb))
+        two = (cnt == 2.0)
+        near1 = d1b <= d2b
+        chx = jnp.where(two, jnp.where(near1, p1x, p2x), psx)
+        chy = jnp.where(two, jnp.where(near1, p1y, p2y), psy)
+        chz = jnp.where(two, jnp.where(near1, p1z, p2z), psz)
+        in_range = (lane_f >= last_found) & (lane_f <= seghi)
+        ok = acceptable & in_range & (seg_exists > 0.0)
+        first = jnp.min(jnp.where(ok, lane_f, 1e9), axis=1, keepdims=True)
+        found = (first < 1e9).astype(jnp.float32)
+        eff = alive_t * found
+        foh = (lane_f == first).astype(jnp.float32)
+        ncx = jnp.sum(foh * chx, axis=1, keepdims=True)
+        ncy = jnp.sum(foh * chy, axis=1, keepdims=True)
+        ncz = jnp.sum(foh * chz, axis=1, keepdims=True)
+        cx = jnp.where(eff > 0.0, ncx, cx)
+        cy = jnp.where(eff > 0.0, ncy, cy)
+        cz = jnp.where(eff > 0.0, ncz, cz)
+        last_found = jnp.where(eff > 0.0, first, last_found)
+        node_pos = node_pos + eff
+        noh = (lane_f == node_pos).astype(jnp.float32) * eff
+        ox = ox + noh * cx
+        oy = oy + noh * cy
+        oz = oz + noh * cz
+        ov = ov + noh
+        alive = alive * found
+        return (last_found, node_pos, cx, cy, cz, alive, ox, oy, oz, ov)
+
+    init = (startg, startnode, cx0, cy0, cz0,
+            jnp.ones((rows, 1), jnp.float32), ox, oy, oz, ov)
+    (_, _, _, _, _, _, ox, oy, oz, ov) = jax.lax.fori_loop(
+        0, m_int - 1, step, init
+    )
+    ox_ref[:] = ox
+    oy_ref[:] = oy
+    oz_ref[:] = oz
+    ov_ref[:] = ov
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def pursuit_walks_fused(
+    walk_guides,  # (4, M, 3) walk-space guide polylines (prefix-packed)
+    walk_seglens,  # (4, M-1) per-node-position lookahead
+    start_guides,  # (4,) int anchor guide rows
+    seg_his,  # (4,) highest usable segment index
+    outer_his,  # (4,) walk continues while last_found <= outer_hi
+    start_nodes,  # (4,) walk-space node position of the anchor
+    counts,  # (4,) valid guide prefix length
+    eps: float = 1e-4,
+    interpret: bool = False,
+):
+    """All four prior walks in one kernel; same outputs as
+    jax.vmap(ops.priors.pursuit_walk). Returns (pos (4, M, 3), valid (4, M))."""
+    n_walks, m, _ = walk_guides.shape
+    width = _round_up(max(m, 2), 128)
+
+    def pack(a, cols=None):
+        out = jnp.zeros((8, width), jnp.float32)
+        if a.ndim == 1:
+            return out.at[:n_walks, : a.shape[0]].set(a)
+        return out.at[:n_walks, : a.shape[1]].set(a)
+
+    ax = pack(walk_guides[:, :-1, 0])
+    ay = pack(walk_guides[:, :-1, 1])
+    az = pack(walk_guides[:, :-1, 2])
+    bxp = pack(walk_guides[:, 1:, 0])
+    byp = pack(walk_guides[:, 1:, 1])
+    bzp = pack(walk_guides[:, 1:, 2])
+    seglen = pack(walk_seglens)
+
+    idx = jnp.arange(n_walks)
+    anchors = walk_guides[idx, start_guides]  # (4, 3)
+    anchor = jnp.zeros((8, width), jnp.float32).at[:n_walks, :3].set(anchors)
+
+    scal = jnp.zeros((8, width), jnp.float32)
+    scal = scal.at[:n_walks, 0].set(start_guides.astype(jnp.float32))
+    scal = scal.at[:n_walks, 1].set(seg_his.astype(jnp.float32))
+    scal = scal.at[:n_walks, 2].set(outer_his.astype(jnp.float32))
+    scal = scal.at[:n_walks, 3].set(start_nodes.astype(jnp.float32))
+    scal = scal.at[:n_walks, 4].set(counts.astype(jnp.float32))
+
+    kern = functools.partial(_walks_kernel, int(m), eps)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ox, oy, oz, ov = pl.pallas_call(
+        kern,
+        in_specs=[full] * 9,
+        out_specs=[full] * 4,
+        out_shape=[jax.ShapeDtypeStruct((8, width), jnp.float32)] * 4,
+        interpret=interpret,
+    )(ax, ay, az, bxp, byp, bzp, seglen, anchor, scal)
+
+    pos = jnp.stack([ox[:n_walks, :m], oy[:n_walks, :m], oz[:n_walks, :m]],
+                    axis=-1)
+    valid = ov[:n_walks, :m] > 0.0
+    return pos, valid

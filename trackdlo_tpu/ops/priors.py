@@ -176,6 +176,8 @@ def correspondence_priors(
     vis_ext_count: jnp.ndarray,
     vis_idx: jnp.ndarray,
     vis_count: jnp.ndarray,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> PriorResult:
     """Occlusion-case dispatch + prior walks (trackdlo.cpp:929-995).
 
@@ -276,10 +278,21 @@ def correspondence_priors(
     start_nodes = jnp.stack([zero, zero, start_node, m - 1 - start_node])
     counts = jnp.broadcast_to(v, (4,))
 
-    walks = jax.vmap(pursuit_walk)(
-        walk_guides, walk_seglens, start_guides, seg_his, outer_his,
-        start_nodes, counts,
-    )
+    if use_pallas:
+        # One kernel runs all four walks' loops in-register
+        # (~3x the XLA scan, whose loop body costs ~3.4 us/step on TPU).
+        from trackdlo_tpu.ops.pallas_kernels import pursuit_walks_fused
+
+        pos4, valid4 = pursuit_walks_fused(
+            walk_guides, walk_seglens, start_guides, seg_his, outer_his,
+            start_nodes, counts, eps=_EPS_BETWEEN, interpret=interpret,
+        )
+        walks = WalkResult(pos=pos4, valid=valid4)
+    else:
+        walks = jax.vmap(pursuit_walk)(
+            walk_guides, walk_seglens, start_guides, seg_his, outer_his,
+            start_nodes, counts,
+        )
     head = WalkResult(pos=walks.pos[0], valid=walks.valid[0])
     tail = WalkResult(pos=walks.pos[1][::-1], valid=walks.valid[1][::-1])
     fwd = WalkResult(pos=walks.pos[2], valid=walks.valid[2])
