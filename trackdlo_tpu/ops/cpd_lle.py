@@ -297,6 +297,43 @@ def _cpd_lle_impl(
     eye = jnp.eye(m, dtype=dtype)
     inactive_rows = ~node_mask
 
+    # The fused kernels hardcode the reference's MCT-geodesic E-step; the
+    # prototype variants (gaussian kernels / no geodesic re-distance) must
+    # take the XLA iteration even when use_pallas is set, or they would
+    # silently compute a different algorithm.
+    pallas_supports_variant = (
+        params.kernel == "mct_geodesic" and params.use_geodesic_redistance
+    )
+    use_pallas_path = params.use_pallas and pallas_supports_variant
+
+    if use_pallas_path:
+        # Iteration-INVARIANT staging, hoisted out of the while_loop: the
+        # pad/transpose XLA ops cost more per EM iteration than the fused
+        # kernel itself when left inside the loop body.
+        from trackdlo_tpu.ops.pallas_kernels import (
+            estep_scalars,
+            fused_estep_packed,
+            pack_points,
+        )
+
+        m_pad = (m + 7) // 8 * 8
+        pad_m3 = lambda v: jnp.zeros((m_pad, 3), dtype).at[:m].set(v)
+        pad_mm = lambda v: jnp.zeros((m_pad, m_pad), dtype).at[:m, :m].set(v)
+        pad_col = lambda v: jnp.zeros((m_pad, 1), dtype).at[:m, 0].set(v)
+        g_p = pad_mm(g)
+        eye_p = jnp.eye(m_pad, dtype=dtype)
+        y0_p = pad_m3(y0)
+        hg_p = pad_mm(hg) if params.include_lle else None
+        hy0_p = pad_m3(hy0) if params.include_lle else None
+        jg_p = pad_mm(jg) if params.use_priors else None
+        pd_p = pad_m3(prior_disp) if params.use_priors else None
+        coord_p = pad_col(node_coord)
+        nm_p = pad_col(node_mask.astype(dtype))
+        node_mask_p = jnp.zeros((m_pad,), bool).at[:m].set(node_mask)
+        pair_mask_p = node_mask_p[:, None] & node_mask_p[None, :]
+        ones_pv_p = jnp.ones((m_pad, 1), dtype)
+        xt_p, xm_p = pack_points(x, x_mask)
+
     def _solve(a_mat, b_mat):
         if params.solver == "normal_cholesky":
             hp = jax.lax.Precision.HIGHEST
@@ -417,9 +454,9 @@ def _cpd_lle_impl(
         return t, s2_new, delta
 
     def em_iteration_pallas_sharded(y_cur, s2):
-        """Sharded fused variant: separate kernels so the nearest-point
-        distances can cross shards via pmin before the E-step."""
-        from trackdlo_tpu.ops.pallas_kernels import fused_estep, nearest_point_sq
+        """Fused-kernel iteration on the pre-staged (hoisted) padded arrays;
+        under sharding the nearest-point distances cross shards via pmin."""
+        from trackdlo_tpu.ops.pallas_kernels import nearest_point_sq
 
         interpret = jax.default_backend() != "tpu"
         c_base = (_TWO_PI * s2) ** (d / 2) * params.mu / (1 - params.mu)
@@ -438,43 +475,50 @@ def _cpd_lle_impl(
             )
             p_vis = jnp.where(node_mask, jnp.exp(-params.k_vis * shortest), 0.0)
             p_vis = p_vis / jnp.maximum(jnp.sum(p_vis), 1e-30)
+            pvp = jnp.ones((m_pad, 1), dtype).at[:m, 0].set(p_vis)
             two_phase = False
         else:
             # Single-device path: the kernel derives the visibility prior
             # in-register from its own phase-0 min sweep — one kernel per
             # EM iteration.
-            p_vis = None
+            pvp = ones_pv_p
             two_phase = True
 
+        from trackdlo_tpu.ops.pallas_kernels import estep_scalars, fused_estep_packed
+
         gate_f = jnp.where(vis_gate, 1.0, 0.0).astype(dtype)
-        p1, px, np_local, tr_local, _ = fused_estep(
-            y_cur, node_mask, node_coord, x, x_mask,
-            s2, c, c_vis, gate_f, p_vis, v_count,
-            k_vis=params.k_vis,
-            tau_vis=params.visibility_threshold,
-            two_phase=two_phase,
-            interpret=interpret,
+        yp = jnp.zeros((m_pad, 3), dtype).at[:m].set(y_cur)
+        scalars = estep_scalars(
+            s2, c, c_vis, gate_f, v_count,
+            params.k_vis, params.visibility_threshold, two_phase,
         )
-        p1 = psum(p1)
-        px = psum(px)
-        np_total = psum(np_local)
-        tr_xtdpt1x = psum(tr_local)
+        p1p, pxp, scal, _short = fused_estep_packed(
+            scalars, yp, coord_p, nm_p, pvp, xt_p, xm_p,
+            two_phase=two_phase, interpret=interpret,
+        )
+        p1p = psum(p1p)
+        pxp = psum(pxp)
+        np_total = psum(scal[0, 0])
+        tr_xtdpt1x = psum(scal[0, 1])
 
-        a_mat = p1[:, None] * g + params.lam * s2 * eye
-        b_mat = px - p1[:, None] * y0
+        # M-step entirely in padded node space (zeros/identity pad rows keep
+        # the solve well-posed; padded displacement stays zero).
+        a_mat = p1p * g_p + params.lam * s2 * eye_p
+        b_mat = pxp - p1p * y0_p
         if params.include_lle:
-            a_mat = a_mat + s2 * params.lle_weight * hg
-            b_mat = b_mat - s2 * params.lle_weight * hy0
+            a_mat = a_mat + s2 * params.lle_weight * hg_p
+            b_mat = b_mat - s2 * params.lle_weight * hy0_p
         if params.use_priors:
-            a_mat = a_mat + params.alpha * jg
-            b_mat = b_mat + params.alpha * prior_disp
-        a_mat = jnp.where(pair_mask, a_mat, eye)
-        b_mat = jnp.where(node_mask[:, None], b_mat, 0.0)
+            a_mat = a_mat + params.alpha * jg_p
+            b_mat = b_mat + params.alpha * pd_p
+        a_mat = jnp.where(pair_mask_p, a_mat, eye_p)
+        b_mat = jnp.where(node_mask_p[:, None], b_mat, 0.0)
         w = _solve(a_mat, b_mat)
-        t = y0 + g @ w
+        t_p = y0_p + g_p @ w
+        t = t_p[:m]
 
-        tr_pxtt = jnp.sum(px * t)
-        tr_ttdp1t = jnp.sum(p1[:, None] * t * t)
+        tr_pxtt = jnp.sum(pxp * t_p)
+        tr_ttdp1t = jnp.sum(p1p * t_p * t_p)
         s2_new = (tr_xtdpt1x - 2 * tr_pxtt + tr_ttdp1t) / (np_total * d)
         s2_new = jnp.maximum(s2_new, 1e-10)
 
@@ -482,14 +526,7 @@ def _cpd_lle_impl(
         delta = move / jnp.maximum(v_count, 1)
         return t, s2_new, delta
 
-    # The fused kernels hardcode the reference's MCT-geodesic E-step; the
-    # prototype variants (gaussian kernels / no geodesic re-distance) must
-    # take the XLA iteration even when use_pallas is set, or they would
-    # silently compute a different algorithm.
-    pallas_supports_variant = (
-        params.kernel == "mct_geodesic" and params.use_geodesic_redistance
-    )
-    if params.use_pallas and pallas_supports_variant:
+    if use_pallas_path:
         if params.use_fused_mstep and axis_name is None:
             iteration = em_iteration_pallas
         else:

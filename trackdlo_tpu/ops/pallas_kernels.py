@@ -557,9 +557,7 @@ def fused_estep(
     weights (required for the cross-shard pmin path).
     """
     m = y.shape[0]
-    n = x.shape[0]
     m_pad = _round_up(m, 8)
-    n_pad = _round_up(n, tile_n)
 
     yp = jnp.zeros((m_pad, 3), jnp.float32).at[:m].set(y)
     coordp = jnp.zeros((m_pad, 1), jnp.float32).at[:m, 0].set(node_coord)
@@ -567,10 +565,38 @@ def fused_estep(
     if p_vis is None:
         p_vis = jnp.ones((m,), jnp.float32)
     pvp = jnp.ones((m_pad, 1), jnp.float32).at[:m, 0].set(p_vis)
+    xt, xmp = pack_points(x, x_mask, tile_n)
+
+    scalars = estep_scalars(
+        sigma2, c_plain, c_vis, vis_gate, v_count, k_vis, tau_vis, two_phase
+    )
+    p1, px, scal, short = fused_estep_packed(
+        scalars, yp, coordp, nmp, pvp, xt, xmp,
+        two_phase=two_phase, tile_n=tile_n, interpret=interpret,
+    )
+    return (
+        p1[:m, 0],
+        px[:m],
+        scal[0, 0],
+        scal[0, 1],
+        short[:m, 0],
+    )
+
+
+def pack_points(x, x_mask, tile_n: int = 512):
+    """Transpose+pad the point set once (iteration-invariant; hoist out of
+    EM loops — re-staging these per iteration costs more XLA ops than the
+    kernel itself)."""
+    n = x.shape[0]
+    n_pad = _round_up(n, tile_n)
     xt = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(x.T)
     xmp = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(x_mask.astype(jnp.float32))
+    return xt, xmp
 
-    scalars = jnp.broadcast_to(
+
+def estep_scalars(sigma2, c_plain, c_vis, vis_gate, v_count, k_vis, tau_vis,
+                  two_phase):
+    return jnp.broadcast_to(
         jnp.stack(
             [
                 sigma2.astype(jnp.float32),
@@ -586,6 +612,18 @@ def fused_estep(
         (8, 128),
     )
 
+
+@functools.partial(jax.jit, static_argnames=("two_phase", "tile_n", "interpret"))
+def fused_estep_packed(
+    scalars, yp, coordp, nmp, pvp, xt, xmp,
+    two_phase: bool = False,
+    tile_n: int = 512,
+    interpret: bool = False,
+):
+    """fused_estep on pre-padded inputs; returns padded outputs
+    (p1 (m_pad,1), px (m_pad,3), scal (1,2), short (m_pad,1))."""
+    m_pad = yp.shape[0]
+    n_pad = xt.shape[1]
     grid = (2 if two_phase else 1, n_pad // tile_n)
     p1, px, scal, short = pl.pallas_call(
         _estep_kernel,
@@ -613,14 +651,7 @@ def fused_estep(
         ],
         interpret=interpret,
     )(scalars, yp, coordp, nmp, pvp, xt, xmp)
-
-    return (
-        p1[:m, 0],
-        px[:m],
-        scal[0, 0],
-        scal[0, 1],
-        short[:m, 0],
-    )
+    return p1, px, scal, short
 
 
 # ---------------------------------------------------------------------------
