@@ -50,3 +50,55 @@ class TestCpdRegister:
         chain = sort_pts(np.asarray(y, float))
         seg = np.linalg.norm(np.diff(chain, axis=0), axis=1)
         assert seg.max() < 5 * np.median(seg)
+
+
+class TestMultiTracker:
+    def test_streams_track_independently(self):
+        import numpy as np
+
+        from trackdlo_tpu.config import CameraIntrinsics, live_params
+        from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
+        from trackdlo_tpu.models.multi import MultiTracker
+
+        intr = CameraIntrinsics(
+            fx=120.0, fy=120.0, cx=80.0, cy=60.0, width=160, height=120
+        )
+        params = live_params(max_points=256, downsample_cell_px=4)
+        rope = SyntheticRope()
+        mt = MultiTracker(params, intr)
+        mt.add_stream("a", init_nodes=rope.nodes(0.0, params.M))
+        mt.add_stream("b", init_nodes=rope.nodes(0.1, params.M))
+
+        for i in range(1, 4):
+            frames = {
+                "a": render_frame(rope, i / 15.0, intr, rope_pixel_radius=3),
+                "b": render_frame(rope, i / 15.0 + 0.1, intr, rope_pixel_radius=3),
+            }
+            outs = mt.step_all(frames)
+        for name, t in (("a", 3 / 15.0), ("b", 3 / 15.0 + 0.1)):
+            gt = rope.nodes(t, params.M)
+            err = np.linalg.norm(mt.nodes(name) - gt, axis=1).mean()
+            assert err < 0.015, (name, err)  # coarse 160x120 scale
+        # Streams stayed distinct.
+        assert not np.allclose(mt.nodes("a"), mt.nodes("b"), atol=1e-3)
+        # One occluded stream does not disturb the other.
+        occ = np.zeros((intr.height, intr.width), np.uint8)
+        frames = {
+            "a": render_frame(rope, 4 / 15.0, intr, rope_pixel_radius=3),
+            "b": render_frame(rope, 4 / 15.0 + 0.1, intr, rope_pixel_radius=3),
+        }
+        outs = mt.step_all(frames, occlusion_masks={"a": occ})
+        assert int(outs["a"].n_points) == 0  # fully occluded
+        gt = rope.nodes(4 / 15.0 + 0.1, params.M)
+        err = np.linalg.norm(mt.nodes("b") - gt, axis=1).mean()
+        assert err < 0.02  # coarse 160x120 scale
+
+    def test_add_stream_validation(self):
+        from trackdlo_tpu.config import CameraIntrinsics, live_params
+        from trackdlo_tpu.models.multi import MultiTracker
+
+        mt = MultiTracker(live_params(), CameraIntrinsics())
+        import pytest
+
+        with pytest.raises(ValueError, match="exactly one"):
+            mt.add_stream("x")
