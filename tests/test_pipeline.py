@@ -304,3 +304,49 @@ class TestSelfOcclusion:
                 saw_self_occlusion = True
         assert saw_self_occlusion
         assert errs[-1] < 0.02
+
+
+class TestServeStreams:
+    def test_serve_raw_sequence_end_to_end(self, tmp_path):
+        """Production loop: native feeder -> init -> supervised tracking ->
+        video output, on a recorded raw sequence."""
+        import pytest
+
+        from trackdlo_tpu import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+
+        import numpy as np
+
+        from examples.serve_streams import serve
+        from trackdlo_tpu.config import CameraIntrinsics, live_params
+        from trackdlo_tpu.io.raw_sequence import write_raw_sequence
+        from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
+
+        intr = CameraIntrinsics(
+            fx=240.0, fy=240.0, cx=160.0, cy=120.0, width=320, height=240
+        )
+        params = live_params(max_points=512, downsample_cell_px=4)
+        rope = SyntheticRope()
+        frames = [
+            render_frame(rope, i / 15.0, intr, rope_pixel_radius=4)
+            for i in range(8)
+        ]
+        path = write_raw_sequence(str(tmp_path / "seq.tdlo"), frames)
+        out_video = str(tmp_path / "out.mp4")
+
+        fps, n, state = serve(path, out_video, params=params, intrinsics=intr)
+        assert n == 7  # first frame consumed by init
+        assert np.isfinite(np.asarray(state.y)).all()
+        import os
+
+        assert os.path.getsize(out_video) > 0
+        # Tracked onto the rope (orientation-agnostic after skeleton init).
+        gt = rope.nodes(7 / 15.0, params.M)
+        y = np.asarray(state.y)
+        err = min(
+            np.linalg.norm(y - gt, axis=1).mean(),
+            np.linalg.norm(y[::-1] - gt, axis=1).mean(),
+        )
+        assert err < 0.02, err
