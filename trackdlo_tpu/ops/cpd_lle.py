@@ -35,14 +35,19 @@ _TWO_PI = 6.283185307179586
 
 @jax.custom_batching.custom_vmap
 def _solve_lu(a_mat: jnp.ndarray, b_mat: jnp.ndarray) -> jnp.ndarray:
-    """M-step solve with a batch-aware TPU path.
+    """M-step solve with a TPU-aware fast path.
 
-    Unbatched: plain LU. Under jax.vmap (multi-stream tracking):
-    jnp.linalg.solve lowers to batch-SEQUENTIAL LU on TPU (~17 us per 48x48
-    matrix — ~80% of per-iteration EM cost at batch 8), so the vmap rule
-    reroutes to one Pallas Gauss-Jordan kernel solving every system in a
-    single 48-step elimination (ops/pallas_kernels.gauss_jordan_solve_batched).
+    On TPU both the unbatched and the vmapped solve route to the Pallas
+    Gauss-Jordan kernel (ops/pallas_kernels.gauss_jordan_solve_batched):
+    jnp.linalg.solve lowers to LU at ~23 us per 48x48 matrix on v5e
+    (batch-SEQUENTIAL under vmap) while the one-hot-pivoted GJ elimination
+    solves the same system in ~10 us (perf/solve_b1_bench.py) — most of the
+    ~23 us EM iteration. Other backends use plain LU.
     """
+    if jax.default_backend() == "tpu":
+        from trackdlo_tpu.ops.pallas_kernels import gauss_jordan_solve_batched
+
+        return gauss_jordan_solve_batched(a_mat[None], b_mat[None])[0]
     return jnp.linalg.solve(a_mat, b_mat)
 
 
