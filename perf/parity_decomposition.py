@@ -31,11 +31,14 @@ def main():
                     help="inject a mid-section occlusion for frames 10-20")
     ap.add_argument("--json", default=None)
     ap.add_argument("--cpu", action="store_true", default=True)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run the jitted trackers on the ambient (TPU) "
+                         "backend — audits the real compiled kernel path")
     args = ap.parse_args()
 
     import jax
 
-    if args.cpu:
+    if args.cpu and not args.tpu:
         jax.config.update("jax_platforms", "cpu")
 
     import dataclasses

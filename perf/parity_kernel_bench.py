@@ -107,8 +107,31 @@ def main():
             return body
         return scan_time(build, k_pair)
 
+    from trackdlo_tpu.ops.preprocess import compact_cells
+
+    def time_model_path(parity):
+        """Kernel + compact/snap — the path models/trackdlo.py runs on TPU."""
+        def build():
+            def body(c):
+                cl, ct = cell_sums_pallas(
+                    rgb, depth + (c * 0).astype(depth.dtype), occ,
+                    intr.fx, intr.fy, intr.cx, intr.cy,
+                    params.hsv_lower, params.hsv_upper, False, cell,
+                    interpret=interp, parity_split=parity, voxel_leaf=leaf,
+                )
+                pc = compact_cells(
+                    cl, ct, params.max_points, leaf,
+                    candidate_cap=8192 if parity else 4096,
+                    n_channels=8 if parity else 1,
+                )
+                return jnp.sum(pc.points) * 1e-12 + c * 0.5
+            return body
+        return scan_time(build, k_pair)
+
     print(f"kernel   parity=off : {time_kernel(False):8.3f} ms")
     print(f"kernel   parity=on  : {time_kernel(True):8.3f} ms")
+    print(f"model    parity=off : {time_model_path(False):8.3f} ms")
+    print(f"model    parity=on  : {time_model_path(True):8.3f} ms")
     print(f"full XLA parity=off : {time_full(False):8.3f} ms")
     print(f"full XLA parity=on  : {time_full(True):8.3f} ms")
 

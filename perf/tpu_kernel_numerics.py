@@ -1,0 +1,165 @@
+"""COMPILED-mode numerics audit of every Pallas kernel vs its XLA twin.
+
+The Mosaic trap (CLAUDE.md): interpret mode computes exact f32 while the
+compiled kernel may round matmul operands through bf16 MXU passes or even
+mis-lower. This script runs each kernel compiled on the real TPU and
+reports the deviation from the reference (XLA / interpret) path, so silent
+on-device precision regressions can't hide behind CPU-only tests.
+
+Run on TPU: python perf/tpu_kernel_numerics.py
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/trackdlo_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    if jax.default_backend() != "tpu":
+        print("needs the TPU backend; got", jax.default_backend())
+        return 1
+
+    from trackdlo_tpu.config import CameraIntrinsics, live_params
+    from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
+    from trackdlo_tpu.ops.cpd_lle import CpdParams, cpd_lle
+    from trackdlo_tpu.ops.preprocess import default_cell_px, preprocess_frame
+    from trackdlo_tpu.ops.preprocess_kernel import cell_sums_pallas
+    from trackdlo_tpu.ops.priors import correspondence_priors
+    from trackdlo_tpu.ops.visibility import compute_visibility
+    from trackdlo_tpu.ops.visibility_kernel import fused_visibility
+
+    params = live_params()
+    intr = CameraIntrinsics()
+    rope = SyntheticRope()
+    rgb, depth = render_frame(rope, 1 / 15.0, intr)
+    rgbj = jnp.asarray(rgb)
+    depthj = jnp.asarray(depth)
+    occ = jnp.ones((intr.height, intr.width), bool)
+    cell = default_cell_px(params.downsample_leaf_size, intr.fx)
+    proj = jnp.asarray(intr.proj_matrix(), jnp.float32)
+    m = params.M
+    nodes = jnp.asarray(rope.nodes(0.0, m), jnp.float32)
+    results = {}
+
+    # --- preprocess kernel: compiled vs the exact XLA pooling path --------
+    pc_ref = preprocess_frame(
+        rgbj, depthj, occ, intr.fx, intr.fy, intr.cx, intr.cy,
+        params.hsv_lower, params.hsv_upper, False, cell, params.max_points,
+        voxel_leaf=params.downsample_leaf_size,
+    )
+    from trackdlo_tpu.ops.preprocess import compact_cells
+
+    cl, ct = cell_sums_pallas(
+        rgbj, depthj, occ, intr.fx, intr.fy, intr.cx, intr.cy,
+        params.hsv_lower, params.hsv_upper, False, cell, interpret=False,
+    )
+    pc_got = compact_cells(cl, ct, params.max_points, params.downsample_leaf_size)
+    rp = np.asarray(pc_ref.points)[np.asarray(pc_ref.mask)]
+    gp = np.asarray(pc_got.points)[np.asarray(pc_got.mask)]
+    d = np.linalg.norm(gp[:, None] - rp[None], axis=2).min(1)
+    results["preprocess_kernel_vs_xla_p95_m"] = float(np.percentile(d, 95))
+    results["preprocess_kernel_count_delta"] = int(pc_got.count) - int(pc_ref.count)
+
+    # --- EM: fused Pallas iterations (compiled) vs the XLA while_loop -----
+    x, xm = pc_ref.points, pc_ref.mask
+    base = dict(
+        beta=params.beta, lam=params.lam, lle_weight=params.lle_weight,
+        mu=params.mu, max_iter=10, tol=0.0, include_lle=False,
+        k_vis=params.k_vis, visibility_threshold=params.visibility_threshold,
+        use_visibility=True,
+    )
+    vc = jnp.asarray(30, jnp.int32)
+    nm = jnp.ones(m, bool)
+    s2 = jnp.asarray(0.001, jnp.float32)
+    r_xla = cpd_lle(x, xm, nodes, nm, s2, CpdParams(**base), visible_count=vc)
+    r_pal = cpd_lle(
+        x, xm, nodes, nm, s2, CpdParams(**base, use_pallas=True),
+        visible_count=vc,
+    )
+    results["em10_pallas_vs_xla_max_m"] = float(
+        jnp.max(jnp.abs(r_pal.y - r_xla.y))
+    )
+    r_fused = cpd_lle(
+        x, xm, nodes, nm, s2,
+        CpdParams(**base, use_pallas=True, use_fused_mstep=True),
+        visible_count=vc,
+    )
+    results["em10_fusedmstep_vs_xla_max_m"] = float(
+        jnp.max(jnp.abs(r_fused.y - r_xla.y))
+    )
+
+    # --- M-step solve: GJ kernel vs f64 ------------------------------------
+    from trackdlo_tpu.ops.pallas_kernels import gauss_jordan_solve_batched
+
+    rng = np.random.default_rng(0)
+    a_np = rng.standard_normal((8, 48, 48)).astype(np.float32)
+    a_np = a_np @ a_np.transpose(0, 2, 1) + 48 * np.eye(48, dtype=np.float32)
+    b_np = rng.standard_normal((8, 48, 3)).astype(np.float32)
+    w64 = np.linalg.solve(a_np.astype(np.float64), b_np.astype(np.float64))
+    w_gj = np.asarray(gauss_jordan_solve_batched(jnp.asarray(a_np), jnp.asarray(b_np)))
+    results["gj_solve_vs_f64_max"] = float(np.abs(w_gj - w64).max())
+    w_lu = np.asarray(jnp.linalg.solve(jnp.asarray(a_np), jnp.asarray(b_np)))
+    results["lu_solve_vs_f64_max"] = float(np.abs(w_lu - w64).max())
+
+    # --- visibility: fused kernel vs XLA path ------------------------------
+    geo_j = jnp.asarray(
+        np.cumsum(
+            np.r_[0.0, np.linalg.norm(np.diff(np.asarray(nodes), axis=0), axis=1)]
+        ),
+        jnp.float32,
+    )
+    vis_x = compute_visibility(
+        nodes, x, xm, proj, geo_j, intr.height, intr.width,
+        params.visibility_threshold, params.dlo_pixel_width, params.d_vis,
+    )
+    vis_p = fused_visibility(
+        nodes, x, xm, proj, geo_j, intr.height, intr.width,
+        params.visibility_threshold, params.dlo_pixel_width, params.d_vis,
+        interpret=False,
+    )
+    results["visibility_dist_max_m"] = float(
+        jnp.max(jnp.abs(vis_p.shortest_node_pt_dists - vis_x.shortest_node_pt_dists))
+    )
+    results["visibility_idx_mismatch"] = int(
+        jnp.sum(
+            (vis_p.vis_ext_idx[: int(vis_x.vis_ext_count)]
+             != vis_x.vis_ext_idx[: int(vis_x.vis_ext_count)]).astype(jnp.int32)
+        )
+    )
+
+    # --- priors: fused walk kernel vs XLA scan (both compiled on TPU) ------
+    # A tail-occluded case so the walks actually move.
+    vcnt = jnp.asarray(m - 10, jnp.int32)
+    vidx = jnp.arange(m, dtype=jnp.int32)
+    pr_x = correspondence_priors(
+        nodes, geo_j, nodes, vidx, vcnt, vidx, vcnt, use_pallas=False,
+    )
+    pr_p = correspondence_priors(
+        nodes, geo_j, nodes, vidx, vcnt, vidx, vcnt, use_pallas=True,
+    )
+    both = np.asarray(pr_x.prior_mask) & np.asarray(pr_p.prior_mask)
+    results["priors_mask_mismatch"] = int(
+        (np.asarray(pr_x.prior_mask) != np.asarray(pr_p.prior_mask)).sum()
+    )
+    diff = np.abs(np.asarray(pr_x.prior_pos) - np.asarray(pr_p.prior_pos))[both]
+    results["priors_pos_max_m"] = float(diff.max()) if diff.size else 0.0
+
+    for k, v in results.items():
+        print(f"{k:40s} {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

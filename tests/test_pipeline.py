@@ -350,3 +350,38 @@ class TestServeStreams:
             np.linalg.norm(y[::-1] - gt, axis=1).mean(),
         )
         assert err < 0.02, err
+
+
+class TestChannelCompaction:
+    def test_channelled_compact_matches_flat(self):
+        """compact_cells(n_channels=8) must produce the same post-snap point
+        SET as the flat sort: only the (irrelevant) candidate selection order
+        differs when no channel overflows its per-channel cap."""
+        import numpy as np
+
+        from trackdlo_tpu.ops.preprocess import compact_cells
+
+        rng = np.random.default_rng(7)
+        n_per, ch = 960, 8
+        n = n_per * ch
+        counts = np.zeros(n, np.float32)
+        occupied = rng.choice(n, size=700, replace=False)
+        counts[occupied] = rng.integers(1, 30, size=700)
+        cells = np.zeros((n, 3), np.float32)
+        cells[occupied] = rng.uniform(-0.3, 0.3, size=(700, 3)).astype(np.float32)
+
+        flat = compact_cells(
+            jnp.asarray(cells), jnp.asarray(counts), 512, 0.008,
+            candidate_cap=1024, n_channels=1,
+        )
+        chan = compact_cells(
+            jnp.asarray(cells), jnp.asarray(counts), 512, 0.008,
+            candidate_cap=1024, n_channels=ch,
+        )
+        assert int(flat.count) == int(chan.count)
+        fp = np.asarray(flat.points)[np.asarray(flat.mask)]
+        cp = np.asarray(chan.points)[np.asarray(chan.mask)]
+        # Same voxel-snapped point set (order may differ).
+        fp_sorted = fp[np.lexsort(fp.T)]
+        cp_sorted = cp[np.lexsort(cp.T)]
+        np.testing.assert_allclose(fp_sorted, cp_sorted, atol=1e-6)

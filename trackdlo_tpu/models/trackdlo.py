@@ -112,6 +112,7 @@ def _step_impl(
         pc = compact_cells(
             cells, counts, params.max_points, voxel_leaf,
             candidate_cap=8192 if params.parity_split else 4096,
+            n_channels=8 if (params.parity_split and voxel_leaf is not None) else 1,
         )
     else:
         pc = preprocess_frame(

@@ -222,7 +222,10 @@ def preprocess_frame(
              pool(z, maskf) / denom],
             axis=1,
         )
-    return compact_cells(cells, counts, max_points, voxel_leaf, candidate_cap)
+    return compact_cells(
+        cells, counts, max_points, voxel_leaf, candidate_cap,
+        n_channels=8 if (parity_split and voxel_leaf is not None) else 1,
+    )
 
 
 def compact_cells(
@@ -231,9 +234,21 @@ def compact_cells(
     max_points: int,
     voxel_leaf: float | None,
     candidate_cap: int = 4096,
+    n_channels: int = 1,
 ) -> PointCloud:
     """Compact cell centroids into the fixed-capacity point set, optionally
-    snapping to voxel bins (shared tail of the XLA and Pallas front ends)."""
+    snapping to voxel bins (shared tail of the XLA and Pallas front ends).
+
+    ``n_channels``: with the voxel-parity split the grid is 8 channel-major
+    copies of the cell grid; sorting all 8*n_cells entries in one flat sort
+    costs ~10x the single-channel compaction. Instead each channel compacts
+    independently to ``candidate_cap // n_channels`` slots via ONE batched
+    sort (channels ride the TPU sort's batch dimension on sublanes, so the
+    batched sort costs about one channel's worth). EM results are point-order
+    invariant and the voxel snap re-sorts by voxel key, so the different
+    selection order is immaterial; the per-channel cap only binds when one
+    parity channel alone exceeds it (~1k occupied cells of one parity — far
+    beyond any rope frame)."""
     cell_valid = counts > 0
 
     # Ascending cell index among valid cells; EM results are point-order
@@ -242,13 +257,35 @@ def compact_cells(
     # Multi-operand sort instead of argsort+gather (see voxel_snap).
     n_cells = cells.shape[0]
     cap = candidate_cap if voxel_leaf is not None else max_points
-    keys = jnp.where(cell_valid, jnp.arange(n_cells, dtype=jnp.int32), n_cells)
-    key_s, x_s, y_s, z_s, cnt_s = jax.lax.sort(
-        (keys, cells[:, 0], cells[:, 1], cells[:, 2], counts), num_keys=1
-    )
-    valid = key_s[:cap] < n_cells
-    points = jnp.stack([x_s[:cap], y_s[:cap], z_s[:cap]], axis=1)
-    points = jnp.where(valid[:, None], points, 0.0)
+    if n_channels > 1:
+        n_per = n_cells // n_channels
+        cap_per = cap // n_channels
+        resh = lambda a: a.reshape(n_channels, n_per)
+        keys = jnp.where(
+            resh(cell_valid), jnp.arange(n_per, dtype=jnp.int32)[None, :], n_per
+        )
+        key_s, x_s, y_s, z_s, cnt_s = jax.lax.sort(
+            (keys, resh(cells[:, 0]), resh(cells[:, 1]), resh(cells[:, 2]),
+             resh(counts)),
+            num_keys=1,
+        )
+        valid = (key_s[:, :cap_per] < n_per).reshape(-1)
+        x_s, y_s, z_s, cnt_s = (
+            a[:, :cap_per].reshape(-1) for a in (x_s, y_s, z_s, cnt_s)
+        )
+        cap = cap_per * n_channels
+        points = jnp.stack([x_s, y_s, z_s], axis=1)
+        points = jnp.where(valid[:, None], points, 0.0)
+        cnt_s = jnp.where(valid, cnt_s, 0.0)
+        key_s = None
+    else:
+        keys = jnp.where(cell_valid, jnp.arange(n_cells, dtype=jnp.int32), n_cells)
+        key_s, x_s, y_s, z_s, cnt_s = jax.lax.sort(
+            (keys, cells[:, 0], cells[:, 1], cells[:, 2], counts), num_keys=1
+        )
+        valid = key_s[:cap] < n_cells
+        points = jnp.stack([x_s[:cap], y_s[:cap], z_s[:cap]], axis=1)
+        points = jnp.where(valid[:, None], points, 0.0)
 
     if voxel_leaf is not None:
         w = jnp.where(valid, cnt_s[:cap], 0.0)
