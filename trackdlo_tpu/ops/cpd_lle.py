@@ -35,19 +35,19 @@ _TWO_PI = 6.283185307179586
 
 @jax.custom_batching.custom_vmap
 def _solve_lu(a_mat: jnp.ndarray, b_mat: jnp.ndarray) -> jnp.ndarray:
-    """M-step solve with a TPU-aware fast path.
+    """M-step solve with a batch-aware TPU path.
 
-    On TPU both the unbatched and the vmapped solve route to the Pallas
-    Gauss-Jordan kernel (ops/pallas_kernels.gauss_jordan_solve_batched):
-    jnp.linalg.solve lowers to LU at ~23 us per 48x48 matrix on v5e
-    (batch-SEQUENTIAL under vmap) while the one-hot-pivoted GJ elimination
-    solves the same system in ~10 us (perf/solve_b1_bench.py) — most of the
-    ~23 us EM iteration. Other backends use plain LU.
+    Unbatched: plain LU. The Pallas Gauss-Jordan solve is 2.3x faster per
+    system (9.4 vs 21.6 us, perf/solve_b1_bench.py) but in the full step the
+    refinement glue it needs cancels the win (A/B r3: GJ 0.76 vs LU 0.65
+    ms/frame), so B=1 keeps LU. Under jax.vmap (multi-stream tracking)
+    jnp.linalg.solve lowers to batch-SEQUENTIAL LU on TPU, so the vmap rule
+    reroutes to the one-kernel batched Gauss-Jordan elimination
+    (ops/pallas_kernels.gauss_jordan_solve_batched) — now with an exact
+    permutation extraction + one refinement step: the earlier bf16-rounded
+    extraction (~1e-4 solve noise) could stall tolerance-based EM loops at
+    max_iter, inflating the batched path's per-stream trip counts.
     """
-    if jax.default_backend() == "tpu":
-        from trackdlo_tpu.ops.pallas_kernels import gauss_jordan_solve_batched
-
-        return gauss_jordan_solve_batched(a_mat[None], b_mat[None])[0]
     return jnp.linalg.solve(a_mat, b_mat)
 
 

@@ -240,10 +240,22 @@ def _onehot_gauss_jordan(a, b, valid_col, m_pad):
     a_f, b_f, _, perm, diag = jax.lax.fori_loop(
         0, m_pad, step, (a, b, used0, perm0, diag0)
     )
-    w = jax.lax.dot_general(
-        perm, b_f, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # Exact extraction: perm is 0/1 (bf16-exact); split b_f into three bf16
+    # pieces (exact f32) so Mosaic's bf16 MXU operand rounding cannot touch
+    # the solution. Pieces ride as f32 (bf16-exact values) — see
+    # _batched_gj_kernel for why not bf16 dtype.
+    hi = b_f.astype(jnp.bfloat16)
+    r1 = b_f - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    w = None
+    for piece in (hi, mid, lo):
+        term = jax.lax.dot_general(
+            perm, piece.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        w = term if w is None else w + term
     diag_safe = jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
     return w / diag_safe[:, None]
 
@@ -666,79 +678,129 @@ def fused_estep_packed(
 # ---------------------------------------------------------------------------
 
 
-def _batched_gj_kernel(ab_ref, w_ref):
-    """ab (B, m, m + k_pad) = [A | B] -> w (B, m, k_pad); Gauss-Jordan with
-    one-hot partial pivoting, batch on the leading (untiled) axis.
+def _batched_gj_kernel(ab_ref, w_ref, inv_ref):
+    """ab (B, m_pad, 2*m_pad + k_pad) = [A | I | B] -> w (B, m_pad, k_pad)
+    and inv (B, m_pad, m_pad); Gauss-Jordan with one-hot partial pivoting,
+    batch on the leading (untiled) axis.
 
-    The rhs rides as extra lanes of A so one row update handles both. After
-    full elimination, column k of a_f is pv_k at its pivot row and ~0
-    elsewhere, so w = (a_f^T b_f) / pv^2 recovers the solution without
-    materializing the row permutation (no sublane<->lane transpose)."""
+    The identity block and the rhs ride as extra lanes of A so one row
+    update eliminates all three; the I block becomes A^-1 (up to the row
+    permutation / pivot scaling), returned for the caller's iterative
+    refinement. The elimination is pure VPU (exact f32). The solution rows
+    are extracted with the 0/1 permutation matrix accumulated during
+    pivoting — NOT the earlier a_f^T b_f trick, whose Mosaic dot rounded
+    both operands through bf16 (~1e-4 relative solve error, enough to stall
+    the EM's tolerance exit). perm is 0/1 (bf16-exact) and b_f splits into
+    three bf16 pieces (exact f32), so the extraction dot is exact."""
     ab = ab_ref[:]
-    bsz, m, mk = ab.shape
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (bsz, m, mk), 2)
-    subl_col = jax.lax.broadcasted_iota(jnp.int32, (bsz, m, 1), 1)
+    bsz, m_pad, mk = ab.shape
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (bsz, m_pad, mk), 2)
+    lane_row = lanes[:, 0:1, :]  # (B, 1, mk)
+    subl_col = jax.lax.broadcasted_iota(jnp.int32, (bsz, m_pad, 1), 1)
 
     def step(k, carry):
-        ab_c, used, diag = carry
-        onehot_k = (lanes == k).astype(jnp.float32)  # (B, m, mk)
-        col = jnp.sum(ab_c * onehot_k, axis=2, keepdims=True)  # (B, m, 1)
-        cand = jnp.where(used > 0, -1.0, jnp.abs(col))  # (B, m, 1)
+        ab_c, used, perm, diag = carry
+        onehot_k = (lanes == k).astype(jnp.float32)  # (B, m_pad, mk)
+        col = jnp.sum(ab_c * onehot_k, axis=2, keepdims=True)  # (B, m_pad, 1)
+        cand = jnp.where(used > 0, -1.0, jnp.abs(col))  # (B, m_pad, 1)
         cmax = jnp.max(cand, axis=1, keepdims=True)  # (B, 1, 1)
         # First max (stable tie-break): smallest sublane index among maxima.
         ridx = jnp.min(
-            jnp.where(cand == cmax, subl_col, m), axis=1, keepdims=True
+            jnp.where(cand == cmax, subl_col, m_pad), axis=1, keepdims=True
         )  # (B, 1, 1)
-        r_onehot = (subl_col == ridx).astype(jnp.float32)  # (B, m, 1)
-        pivot_row = jnp.sum(r_onehot * ab_c, axis=1, keepdims=True)  # (B,1,mk)
+        r_onehot = (subl_col == ridx).astype(jnp.float32)  # (B, m_pad, 1)
+        pivot_row = jnp.sum(r_onehot * ab_c, axis=1, keepdims=True)
         pv = jnp.sum(r_onehot * col, axis=1, keepdims=True)  # (B, 1, 1)
         pv_safe = jnp.where(pv == 0, 1.0, pv)
-        factor = col / pv_safe * (1.0 - r_onehot)  # (B, m, 1)
+        factor = col / pv_safe * (1.0 - r_onehot)  # (B, m_pad, 1)
         ab_c = ab_c - factor * pivot_row
         used = used + r_onehot
+        # perm[b, k, r_k] = 1 (k on sublanes, pivot row on lanes).
+        perm = perm + (subl_col == k).astype(jnp.float32) * (
+            lane_row == ridx
+        ).astype(jnp.float32)
         diag = diag + pv * (subl_col == k).astype(jnp.float32)  # k-indexed
-        return ab_c, used, diag
+        return ab_c, used, perm, diag
 
-    used0 = jnp.zeros((bsz, m, 1), jnp.float32)
-    diag0 = jnp.zeros((bsz, m, 1), jnp.float32)
-    ab_f, _, diag = jax.lax.fori_loop(0, m, step, (ab, used0, diag0))
-    a_f = ab_f[:, :, :m]
-    b_f = ab_f[:, :, m:]
-    # sum_r a_f[b, r, k] * b_f[b, r, :] = pv_k * b_f[b, r_k, :], and the
-    # solution is b_f[r_k]/pv_k — so divide by pv_k^2.
-    w = jax.lax.dot_general(
-        a_f, b_f,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+    used0 = jnp.zeros((bsz, m_pad, 1), jnp.float32)
+    perm0 = jnp.zeros((bsz, m_pad, mk), jnp.float32)
+    diag0 = jnp.zeros((bsz, m_pad, 1), jnp.float32)
+    ab_f, _, perm, diag = jax.lax.fori_loop(
+        0, m_pad, step, (ab, used0, perm0, diag0)
     )
-    diag_sq = diag * diag
-    diag_safe = jnp.where(diag_sq < 1e-30, 1.0, diag_sq)
+    diag_safe = jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
+    dims = (((2,), (1,)), ((0,), (0,)))
+    perm_m = perm[:, :, :m_pad]
+
+    # Exact w extraction: w[b, k, :] = b_f[b, r_k, :] / pv_k. Mosaic rejects
+    # BATCHED bf16 dots ("Bad lhs type"), so the three split pieces are cast
+    # back to f32: the values stay bf16-exact, making the f32 lowering's
+    # internal bf16 operand rounding lossless.
+    b_f = ab_f[:, :, 2 * m_pad:]
+    hi = b_f.astype(jnp.bfloat16)
+    r1 = b_f - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    w = None
+    for piece in (hi, mid, lo):
+        term = jax.lax.dot_general(
+            perm_m, piece.astype(jnp.float32), dims,
+            preferred_element_type=jnp.float32,
+        )
+        w = term if w is None else w + term
     w_ref[:] = w / diag_safe
 
+    # A^-1 extraction (refinement-grade: bf16 operand rounding of the plain
+    # f32 dot is fine here — the inverse only multiplies a small residual).
+    i_f = ab_f[:, :, m_pad:2 * m_pad]
+    inv = jax.lax.dot_general(
+        perm_m, i_f, dims, preferred_element_type=jnp.float32
+    )
+    inv_ref[:] = inv / diag_safe
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def gauss_jordan_solve_batched(a, b, interpret: bool = False):
-    """(B, m, m) @ w = (B, m, k) for all B systems in one kernel."""
+
+@functools.partial(jax.jit, static_argnames=("interpret", "refine"))
+def gauss_jordan_solve_batched(a, b, interpret: bool = False, refine: bool = True):
+    """(B, m, m) @ w = (B, m, k) for all B systems in one kernel.
+
+    ``refine``: one step of iterative refinement (w += A^-1 (b - A w) with
+    the in-kernel inverse, residual at f32-faithful precision). Takes the
+    f32 solve from ~5e-5 to ~1e-7 absolute error on the EM's M-step systems
+    — below the reference's tolerance floor, so tolerance-based EM loops
+    converge by the true dynamics instead of stalling on solver noise
+    (the f64 COD of trackdlo.cpp:415 never had this problem; f32 LU does)."""
     bsz, m, k = b.shape
     m_pad = _round_up(m, 8)
     k_pad = 4 if k <= 4 else _round_up(k, 4)
-    ab = jnp.zeros((bsz, m_pad, m_pad + k_pad), jnp.float32)
+    ab = jnp.zeros((bsz, m_pad, 2 * m_pad + k_pad), jnp.float32)
     ab = ab.at[:, :m, :m].set(a)
     # Identity rows for padded equations keep the elimination well-posed.
     pad_iota = jnp.arange(m_pad)
+    eye_pad = (pad_iota[:, None] == pad_iota[None, :]).astype(jnp.float32)
     ab = ab.at[:, :, :m_pad].add(
-        jnp.where((pad_iota[:, None] == pad_iota[None, :]) & (pad_iota[:, None] >= m),
-                  1.0, 0.0)
+        jnp.where(pad_iota[:, None] >= m, eye_pad, 0.0)
     )
-    ab = ab.at[:, :m, m_pad:m_pad + k].set(b)
-    w = pl.pallas_call(
+    ab = ab.at[:, :, m_pad:2 * m_pad].set(eye_pad)
+    ab = ab.at[:, :m, 2 * m_pad:2 * m_pad + k].set(b)
+    w1, inv = pl.pallas_call(
         _batched_gj_kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, m_pad, k_pad), jnp.float32),
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, m_pad, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, m_pad, m_pad), jnp.float32),
+        ],
         interpret=interpret,
     )(ab)
-    return w[:, :m, :k]
+    w1 = w1[:, :m, :k]
+    if not refine:
+        return w1
+    hp = jax.lax.Precision.HIGHEST
+    r = b - jnp.matmul(a, w1, precision=hp)
+    return w1 + jnp.matmul(inv[:, :m, :m], r, precision=hp)
 
 
 # ---------------------------------------------------------------------------
