@@ -93,14 +93,13 @@ def _estep_kernel(
     x_mask = x_mask_ref[0, :]  # (T,)
     pair = node_mask[:, None] * x_mask[None, :]
 
-    # Squared distances (m_pad, T).
-    sq = jnp.zeros((m_pad, xt_ref.shape[1]), jnp.float32)
-    for d in range(3):
-        diff = y_ref[:, d][:, None] - xt_ref[d, :][None, :]
-        sq += diff * diff
-
-    sq_masked = jnp.where(pair > 0, sq, _BIG)
-    tile_min = jnp.min(sq_masked, axis=1, keepdims=True)
+    def tile_sq():
+        # Squared distances (m_pad, T), VPU-exact.
+        sq = jnp.zeros((m_pad, xt_ref.shape[1]), jnp.float32)
+        for d in range(3):
+            diff = y_ref[:, d][:, None] - xt_ref[d, :][None, :]
+            sq += diff * diff
+        return sq
 
     @pl.when((phase == 0) & (t == 0))
     def _init():
@@ -109,17 +108,24 @@ def _estep_kernel(
         scal_out_ref[:] = jnp.zeros_like(scal_out_ref)
         short_ref[:] = jnp.full_like(short_ref, _BIG)
 
-    @pl.when(phase == 0)
+    # The phase-0 distance sweep only feeds the visibility prior
+    # exp(-k_vis * shortest), which is inert when the gate is off (all or no
+    # nodes visible, trackdlo.cpp:358 — the common fully-visible case), so
+    # it is predicated on the gate and skipped at runtime otherwise.
+    @pl.when((phase == 0) & (vis_gate > 0))
     def _accumulate_min():
-        short_ref[:] = jnp.minimum(short_ref[:], tile_min)
+        sq_masked = jnp.where(pair > 0, tile_sq(), _BIG)
+        short_ref[:] = jnp.minimum(
+            short_ref[:], jnp.min(sq_masked, axis=1, keepdims=True)
+        )
 
     is_estep = jnp.logical_or(jnp.logical_not(two_phase), phase == 1)
 
     @pl.when(is_estep)
     def _estep():
         _estep_tile(
-            sq, pair, node_mask_ref[:], sigma2, c_plain, c_vis, vis_gate,
-            v_count, k_vis, tau_vis, two_phase,
+            tile_sq(), pair, node_mask_ref[:], sigma2, c_plain, c_vis,
+            vis_gate, v_count, k_vis, tau_vis, two_phase,
             y_ref, coord_ref, p_vis_ref, xt_ref,
             p1_ref, px_ref, scal_out_ref, short_ref,
             m_pad,
