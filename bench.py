@@ -227,7 +227,7 @@ def _measure_all(batches=(1, 8)):
     return results
 
 
-def _measure_in_subprocess(timeout_s=1500):
+def _measure_in_subprocess(timeout_s=2200):
     """Run all measurements in one child process (shared warm backend) so a
     hung TPU tunnel cannot wedge the whole benchmark."""
     import subprocess
@@ -265,7 +265,20 @@ def main():
         fps, step_ms = val
         detail[f"{key}_fps"] = round(fps, 1)
         detail[f"{key}_step_ms"] = round(step_ms, 3)
-        best_fps = max(best_fps, fps)
+        # Headline only from the dispatch-free on-device scan modes: the
+        # host-dispatch-chained modes' short/long slope can under-measure
+        # when a tunnel latency spike lands in the short run (observed
+        # 0.27 ms/step vs a physically consistent 0.64), which would
+        # overstate the result. Their numbers stay in detail as sanity
+        # checks.
+        if key.startswith("ondevice_scan"):
+            best_fps = max(best_fps, fps)
+    if best_fps == 0.0:
+        # All scan modes errored (tunnel outage): fall back to the
+        # dispatch-chained modes rather than reporting zero.
+        for key, val in results.items():
+            if not key.endswith("_error"):
+                best_fps = max(best_fps, val[0])
 
     print(
         json.dumps(
