@@ -1,12 +1,16 @@
-"""Multi-stream tracking on one chip: time-multiplexed, not vmapped.
+"""Multi-stream tracking on one chip: time-multiplexed alternative to vmap.
 
-Measured on v5e (docs/ALGORITHM.md "Single-chip throughput anatomy"): a
-vmapped stream batch runs every stream's EM to the slowest stream's
-data-dependent trip count and its per-stream work is batch-linear, costing
-~2x per frame. Sequential multiplexing keeps each stream at the full
-single-stream rate (~1650 fps aggregate) with ONE shared compiled step.
-Scale-out beyond one chip shards streams over the mesh `data` axis
-(trackdlo_tpu.parallel), where each device runs its own trip counts.
+With the exact M-step solve (round 3) a vmapped 8-stream batch runs at the
+single-stream per-frame rate (docs/ALGORITHM.md "Batch scaling"), so
+batching and time-multiplexing are both viable on one chip. MultiTracker
+multiplexes sequentially with ONE shared compiled step, which additionally
+decouples stream lifecycles (streams join/leave without recompiling or
+re-padding a batch) and keeps per-stream latency at the single-frame step
+time. The vmapped batch (parallel/sharding.build_batched_step_fn) trades
+those for a single launch per frame set; lockstep trip coupling only grows
+mildly with batch (b16 ~+14%/frame). Scale-out beyond one chip shards
+streams over the mesh `data` axis (trackdlo_tpu.parallel), where each
+device runs its own trip counts.
 """
 
 from __future__ import annotations
