@@ -77,7 +77,7 @@ def _measure(batch, k_short=8, k_long=40):
     return batch / per_step, per_step * 1000.0
 
 
-def _measure_scan(n_frames=64, k_short=16, k_long=64):
+def _measure_scan(n_frames=64, k_short=16, k_long=64, parity_split=False):
     """Pure on-device throughput: frames pre-staged on device (the
     double-buffered-feed production shape), the step chained over them
     inside ONE jitted lax.scan — no per-step host dispatch at all.
@@ -99,6 +99,12 @@ def _measure_scan(n_frames=64, k_short=16, k_long=64):
     from trackdlo_tpu.ops.preprocess import default_cell_px
 
     params = live_params()
+    if parity_split:
+        # The <=1 mm closed-loop parity configuration (exact PCL VoxelGrid
+        # clouds via voxel-parity-split preprocessing) at full tracking rate.
+        import dataclasses
+
+        params = dataclasses.replace(params, parity_split=True)
     intr = CameraIntrinsics()
     rope = SyntheticRope()
     cell = default_cell_px(params.downsample_leaf_size, intr.fx)
@@ -212,12 +218,20 @@ def _measure_all(batches=(1, 8)):
         results["ondevice_scan"] = [fps, ms]
     except Exception as e:
         results["ondevice_scan_error"] = type(e).__name__
-    for b in (8, 16):
+    for b in (8,):
         try:
             fps, ms = _measure_scan_batched(batch=b)
             results[f"ondevice_scan_b{b}"] = [fps, ms]
         except Exception as e:
             results[f"ondevice_scan_b{b}_error"] = type(e).__name__
+    # The exact-parity configuration (parity_split: <=1 mm closed-loop vs the
+    # f64 oracle) at full rate. b16 was dropped to keep the compile budget
+    # flat — it measured consistently worse than b8 (0.70 vs 0.61 ms/frame).
+    try:
+        fps, ms = _measure_scan(parity_split=True)
+        results["ondevice_scan_parity"] = [fps, ms]
+    except Exception as e:
+        results["ondevice_scan_parity_error"] = type(e).__name__
     for batch in batches:
         try:
             fps, ms = _measure(batch)

@@ -62,6 +62,7 @@ def _estep_kernel(
     p_vis_ref,  # (m_pad, 1) normalized visibility weights (1-phase mode)
     xt_ref,  # (3, T) tile of transposed points
     x_mask_ref,  # (1, T) f32 0/1
+    flag_ref,  # (8, 128) broadcast: 1.0 iff this tile has any valid point
     p1_ref,  # out (m_pad, 1)
     px_ref,  # out (m_pad, 3)
     scal_out_ref,  # out (1, 2): np_total, tr_xtdpt1x
@@ -108,11 +109,17 @@ def _estep_kernel(
         scal_out_ref[:] = jnp.zeros_like(scal_out_ref)
         short_ref[:] = jnp.full_like(short_ref, _BIG)
 
+    # Point sets are capacity-padded (max_points is a static bound; real
+    # clouds fill a prefix) and the pre-EM prune empties further tiles — a
+    # tile with no valid point contributes exactly zero to every output
+    # (pair == 0 -> p == 0), so it is skipped at runtime.
+    tile_live = flag_ref[0, 0] > 0
+
     # The phase-0 distance sweep only feeds the visibility prior
     # exp(-k_vis * shortest), which is inert when the gate is off (all or no
     # nodes visible, trackdlo.cpp:358 — the common fully-visible case), so
     # it is predicated on the gate and skipped at runtime otherwise.
-    @pl.when((phase == 0) & (vis_gate > 0))
+    @pl.when((phase == 0) & (vis_gate > 0) & tile_live)
     def _accumulate_min():
         sq_masked = jnp.where(pair > 0, tile_sq(), _BIG)
         short_ref[:] = jnp.minimum(
@@ -121,7 +128,7 @@ def _estep_kernel(
 
     is_estep = jnp.logical_or(jnp.logical_not(two_phase), phase == 1)
 
-    @pl.when(is_estep)
+    @pl.when(is_estep & tile_live)
     def _estep():
         _estep_tile(
             tile_sq(), pair, node_mask_ref[:], sigma2, c_plain, c_vis,
@@ -642,7 +649,15 @@ def fused_estep_packed(
     (p1 (m_pad,1), px (m_pad,3), scal (1,2), short (m_pad,1))."""
     m_pad = yp.shape[0]
     n_pad = xt.shape[1]
-    grid = (2 if two_phase else 1, n_pad // tile_n)
+    n_tiles = n_pad // tile_n
+    grid = (2 if two_phase else 1, n_tiles)
+    # Per-tile liveness: a tile with no valid point is skipped in-kernel.
+    # (8, 128) broadcast blocks per tile — Mosaic requires the sublane block
+    # dimension divisible by 8.
+    tile_live = jnp.broadcast_to(
+        jnp.max(xmp.reshape(n_tiles, tile_n), axis=1)[:, None, None],
+        (n_tiles, 8, 128),
+    ).reshape(n_tiles * 8, 128)
     p1, px, scal, short = pl.pallas_call(
         _estep_kernel,
         grid=grid,
@@ -654,6 +669,7 @@ def fused_estep_packed(
             pl.BlockSpec((m_pad, 1), lambda p, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tile_n), lambda p, i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n), lambda p, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda p, i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((m_pad, 1), lambda p, i: (0, 0), memory_space=pltpu.VMEM),
@@ -668,7 +684,7 @@ def fused_estep_packed(
             jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(scalars, yp, coordp, nmp, pvp, xt, xmp)
+    )(scalars, yp, coordp, nmp, pvp, xt, xmp, tile_live)
     return p1, px, scal, short
 
 
