@@ -70,10 +70,13 @@ def _measure(batch, k_short=8, k_long=40):
         return time.perf_counter() - t0
 
     run(2)  # compile + warm
-    t_short = run(k_short)
-    t_long = run(k_long)
-    per_step = (t_long - t_short) / (k_long - k_short)
-    per_step = max(per_step, 1e-6)
+    # Median of three slopes (see _measure_scan: single-hiccup robustness).
+    slopes = []
+    for _ in range(3):
+        t_short = run(k_short)
+        t_long = run(k_long)
+        slopes.append(max((t_long - t_short) / (k_long - k_short), 1e-6))
+    per_step = sorted(slopes)[1]
     return batch / per_step, per_step * 1000.0
 
 
@@ -141,9 +144,16 @@ def _measure_scan(n_frames=64, k_short=16, k_long=64, parity_split=False):
         assert np.isfinite(y).all()
         return time.perf_counter() - t0
 
-    t_short = run_k(k_short)
-    t_long = run_k(k_long)
-    per_frame = max((t_long - t_short) / (k_long - k_short), 1e-6)
+    # Median of three slopes: a single tunnel latency hiccup landing in the
+    # short (long) run under- (over-)states one slope by 2-3x — observed
+    # 0.40 vs a reproducible 0.98 ms/frame. Repeat timings share the
+    # compiled graphs, so the extra cost is a few hundred ms of device time.
+    slopes = []
+    for _ in range(3):
+        t_short = run_k(k_short)
+        t_long = run_k(k_long)
+        slopes.append(max((t_long - t_short) / (k_long - k_short), 1e-6))
+    per_frame = sorted(slopes)[1]
     return 1.0 / per_frame, per_frame * 1000.0
 
 
@@ -205,9 +215,13 @@ def _measure_scan_batched(batch=8, n_frames=32, k_short=8, k_long=32):
         assert np.isfinite(y).all()
         return time.perf_counter() - t0
 
-    t_short = run_k(k_short)
-    t_long = run_k(k_long)
-    per_step = max((t_long - t_short) / (k_long - k_short), 1e-6)
+    # Median of three slopes (see _measure_scan: single-hiccup robustness).
+    slopes = []
+    for _ in range(3):
+        t_short = run_k(k_short)
+        t_long = run_k(k_long)
+        slopes.append(max((t_long - t_short) / (k_long - k_short), 1e-6))
+    per_step = sorted(slopes)[1]
     return batch / per_step, per_step * 1000.0
 
 
