@@ -35,19 +35,25 @@ _TWO_PI = 6.283185307179586
 
 @jax.custom_batching.custom_vmap
 def _solve_lu(a_mat: jnp.ndarray, b_mat: jnp.ndarray) -> jnp.ndarray:
-    """M-step solve with a batch-aware TPU path.
+    """M-step solve with a TPU-aware fast path.
 
-    Unbatched: plain LU. The Pallas Gauss-Jordan solve is 2.3x faster per
-    system (9.4 vs 21.6 us, perf/solve_b1_bench.py) but in the full step the
-    refinement glue it needs cancels the win (A/B r3: GJ 0.76 vs LU 0.65
-    ms/frame), so B=1 keeps LU. Under jax.vmap (multi-stream tracking)
-    jnp.linalg.solve lowers to batch-SEQUENTIAL LU on TPU, so the vmap rule
-    reroutes to the one-kernel batched Gauss-Jordan elimination
-    (ops/pallas_kernels.gauss_jordan_solve_batched) — now with an exact
-    permutation extraction + one refinement step: the earlier bf16-rounded
-    extraction (~1e-4 solve noise) could stall tolerance-based EM loops at
-    max_iter, inflating the batched path's per-stream trip counts.
+    On TPU both the unbatched and the vmapped solve route to the Pallas
+    Gauss-Jordan kernel with exact permutation extraction + one iterative-
+    refinement step (ops/pallas_kernels.gauss_jordan_solve_batched):
+    9.4 us per 48x48 system vs LU's ~22 (perf/solve_b1_bench.py), ~6e-9
+    vs-f64 error (below LU's ~2e-8), and — decisive for the tolerance-based
+    EM loops — trip counts matching LU/f64 dynamics (an earlier bf16-rounded
+    extraction left ~1e-4 solve noise that stalled the weakly-regularized
+    pre-registration EM at max_iter). In-context full-step A/B after the
+    E-step tile-skip: GJ-refined 0.57 vs LU 0.64 ms/frame. Under jax.vmap
+    jnp.linalg.solve would be batch-SEQUENTIAL LU, so the vmap rule uses the
+    same batched kernel (all systems in one 48-step elimination).
+    Non-TPU backends keep plain LU.
     """
+    if jax.default_backend() == "tpu":
+        from trackdlo_tpu.ops.pallas_kernels import gauss_jordan_solve_batched
+
+        return gauss_jordan_solve_batched(a_mat[None], b_mat[None])[0]
     return jnp.linalg.solve(a_mat, b_mat)
 
 
