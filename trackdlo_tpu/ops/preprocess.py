@@ -277,7 +277,6 @@ def compact_cells(
         points = jnp.stack([x_s, y_s, z_s], axis=1)
         points = jnp.where(valid[:, None], points, 0.0)
         cnt_s = jnp.where(valid, cnt_s, 0.0)
-        key_s = None
     else:
         keys = jnp.where(cell_valid, jnp.arange(n_cells, dtype=jnp.int32), n_cells)
         key_s, x_s, y_s, z_s, cnt_s = jax.lax.sort(
