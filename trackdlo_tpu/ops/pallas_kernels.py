@@ -638,7 +638,6 @@ def estep_scalars(sigma2, c_plain, c_vis, vis_gate, v_count, k_vis, tau_vis,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("two_phase", "tile_n", "interpret"))
 def fused_estep_packed(
     scalars, yp, coordp, nmp, pvp, xt, xmp,
     two_phase: bool = False,
@@ -646,7 +645,52 @@ def fused_estep_packed(
     interpret: bool = False,
 ):
     """fused_estep on pre-padded inputs; returns padded outputs
-    (p1 (m_pad,1), px (m_pad,3), scal (1,2), short (m_pad,1))."""
+    (p1 (m_pad,1), px (m_pad,3), scal (1,2), short (m_pad,1)).
+
+    NOTE: ``short`` is only populated when the visibility gate is on in
+    two-phase mode; with the gate off the phase-0 sweep is skipped at
+    runtime and ``short`` stays at the 1e5 sentinel.
+
+    Under ``jax.vmap`` this routes to a row-packed batched kernel
+    (``fused_estep_packed_batch``) that processes all B streams per grid
+    step as (B, m_pad, T) slabs — instead of vmap's serialized grid — so
+    batched EM cost amortizes the per-tile fixed cost across streams
+    (VERDICT r2: b8 bought only +16% with the serialized grid)."""
+    return _estep_cv(bool(two_phase), int(tile_n), bool(interpret))(
+        scalars, yp, coordp, nmp, pvp, xt, xmp
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _estep_cv(two_phase: bool, tile_n: int, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def f(scalars, yp, coordp, nmp, pvp, xt, xmp):
+        return _fused_estep_packed_impl(
+            scalars, yp, coordp, nmp, pvp, xt, xmp,
+            two_phase=two_phase, tile_n=tile_n, interpret=interpret,
+        )
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = tuple(
+            a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+            for a, b in zip(args, in_batched)
+        )
+        outs = fused_estep_packed_batch(
+            *args, two_phase=two_phase, tile_n=tile_n, interpret=interpret
+        )
+        return outs, (True, True, True, True)
+
+    return f
+
+
+@functools.partial(jax.jit, static_argnames=("two_phase", "tile_n", "interpret"))
+def _fused_estep_packed_impl(
+    scalars, yp, coordp, nmp, pvp, xt, xmp,
+    two_phase: bool = False,
+    tile_n: int = 512,
+    interpret: bool = False,
+):
     m_pad = yp.shape[0]
     n_pad = xt.shape[1]
     n_tiles = n_pad // tile_n
@@ -685,6 +729,222 @@ def fused_estep_packed(
         ],
         interpret=interpret,
     )(scalars, yp, coordp, nmp, pvp, xt, xmp, tile_live)
+    return p1, px, scal, short
+
+
+# ---------------------------------------------------------------------------
+# Row-packed batched E-step.
+#
+# jax.vmap of a pallas_call serializes the batch over an extra grid dim, so
+# at M=45 / tile 512 the per-grid-step fixed cost (staging, loop overhead)
+# replays B times and batching buys almost nothing (BENCH_r02: b8 = +16%).
+# This kernel instead processes all B streams per grid step as (B, m_pad, T)
+# slabs: the VPU work vectorizes across the B*m_pad sublane rows exactly like
+# gauss_jordan_solve_batched does for the solve. fused_estep_packed routes
+# here under vmap via jax.custom_batching.custom_vmap.
+# ---------------------------------------------------------------------------
+
+
+def _estep_kernel_batch(two_phase: bool, scalars_ref, y_ref, coord_ref,
+                        node_mask_ref, p_vis_ref, xt_ref, x_mask_ref,
+                        flag_ref, gate_any_ref, inv_s2_ref,
+                        p1_ref, px_ref, scal_out_ref, short_ref):
+    """Batched fused E-step tile; shapes as in fused_estep_packed_batch.
+
+    All math stays 3-D (B, m_pad, T) with per-stream scalars as (B, 1, 1)
+    broadcasts; reductions run along sublanes (axis 1) or lanes (axis 2)
+    within each slab, never across streams.
+    """
+    phase = pl.program_id(0)
+    t = pl.program_id(1)
+    bsz, m_pad, _ = y_ref.shape
+    tile_t = xt_ref.shape[2]
+
+    scal = scalars_ref[:]
+    # Mosaic cannot broadcast (B,1,1) across sublanes AND lanes in one op
+    # (and it elides an in-kernel broadcast_to), so the exp scale -0.5/sigma2
+    # arrives pre-expanded to (B, m_pad, 1): the slab multiplies below then
+    # only broadcast along lanes.
+    neg_half_inv_s2 = inv_s2_ref[:]
+    c_plain = scal[:, 1:2, 0:1]
+    c_vis = scal[:, 2:3, 0:1]
+    vis_gate = scal[:, 3:4, 0:1]
+    v_count = scal[:, 4:5, 0:1].astype(jnp.int32)
+    k_vis = scal[:, 5:6, 0:1]
+    tau_vis = scal[:, 6:7, 0:1]
+
+    node_mask = node_mask_ref[:]  # (B, m_pad, 1)
+    x_mask = x_mask_ref[:]  # (B, 1, T)
+    pair = node_mask * x_mask  # (B, m_pad, T)
+
+    def tile_sq():
+        sq = jnp.zeros((bsz, m_pad, tile_t), jnp.float32)
+        for d in range(3):
+            diff = y_ref[:, :, d : d + 1] - xt_ref[:, d : d + 1, :]
+            sq += diff * diff
+        return sq
+
+    @pl.when((phase == 0) & (t == 0))
+    def _init():
+        p1_ref[:] = jnp.zeros_like(p1_ref)
+        px_ref[:] = jnp.zeros_like(px_ref)
+        scal_out_ref[:] = jnp.zeros_like(scal_out_ref)
+        short_ref[:] = jnp.full_like(short_ref, _BIG)
+
+    tile_live = flag_ref[0, 0] > 0  # any stream has a valid point in tile t
+    gate_any = gate_any_ref[0, 0] > 0  # any stream's visibility gate is on
+
+    if two_phase:
+
+        @pl.when((phase == 0) & gate_any & tile_live)
+        def _accumulate_min():
+            sq_masked = jnp.where(pair > 0, tile_sq(), _BIG)
+            short_ref[:] = jnp.minimum(
+                short_ref[:], jnp.min(sq_masked, axis=2, keepdims=True)
+            )
+
+    is_estep = (phase == 1) if two_phase else (phase == 0)
+
+    @pl.when(is_estep & tile_live)
+    def _estep():
+        sq = tile_sq()
+
+        def first_argmax_rows(p):  # (B, m_pad, T) -> (B, 1, T)
+            mx = jnp.max(p, axis=1, keepdims=True)
+            rows = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+            return jnp.min(jnp.where(p == mx, rows, m_pad), axis=1, keepdims=True)
+
+        def select_row(values, idx):  # (B,m_pad,T), (B,1,T) -> (B,1,T)
+            rows = jax.lax.broadcasted_iota(jnp.int32, values.shape, 1)
+            return jnp.sum(
+                jnp.where(rows == idx, values, 0.0), axis=1, keepdims=True
+            )
+
+        # Visibility prior per stream (gate-off streams get an inert prior:
+        # vis_gate multiplies it away below).
+        if two_phase:
+            shortest = jnp.sqrt(short_ref[:])  # (B, m_pad, 1)
+            shortest = jnp.where(shortest <= tau_vis, 0.0, shortest)
+            pv = jnp.where(node_mask > 0, jnp.exp(-k_vis * shortest), 0.0)
+            pv = pv / jnp.maximum(jnp.sum(pv, axis=1, keepdims=True), 1e-30)
+        else:
+            pv = p_vis_ref[:]  # (B, m_pad, 1)
+
+        # First normalization (trackdlo.cpp:298-301).
+        p = jnp.exp(sq * neg_half_inv_s2) * pair
+        p = p / (jnp.sum(p, axis=1, keepdims=True) + c_plain)
+
+        # Geodesic re-distance (trackdlo.cpp:303-351).
+        mp = first_argmax_rows(jnp.where(pair > 0, p, -1.0))
+        cand1 = jnp.where(mp - 1 == -1, 2, mp - 1)
+        cand2 = jnp.where(mp + 1 == v_count, v_count - 3, mp + 1)
+        sq_c1 = select_row(sq, cand1)
+        sq_c2 = select_row(sq, cand2)
+        nxt = jnp.where(sq_c1 < sq_c2, cand1, cand2)
+        lo = jnp.minimum(mp, nxt)
+        hi = jnp.maximum(mp, nxt)
+        d_lo = jnp.sqrt(select_row(sq, lo))
+        d_hi = jnp.sqrt(select_row(sq, hi))
+        coord = coord_ref[:]  # (B, m_pad, 1)
+        coord_b = jnp.broadcast_to(coord, sq.shape)
+        c_lo = select_row(coord_b, lo)
+        c_hi = select_row(coord_b, hi)
+        rows = jax.lax.broadcasted_iota(jnp.int32, sq.shape, 1)
+        below = (jnp.abs(coord - c_lo) + d_lo) ** 2
+        above = (jnp.abs(coord - c_hi) + d_hi) ** 2
+        sq_geo = jnp.where(
+            rows < lo,
+            below,
+            jnp.where(rows >= hi, above, jnp.where(rows == lo, d_lo**2, 0.0)),
+        )
+
+        # Second pass + visibility prior (trackdlo.cpp:354-383).
+        p = jnp.exp(sq_geo * neg_half_inv_s2) * pair
+        p = p * (1.0 + vis_gate * (pv - 1.0))
+        c_eff = c_plain + vis_gate * (c_vis - c_plain)
+        p = p / (jnp.sum(p, axis=1, keepdims=True) + c_eff)
+        p = p * pair
+
+        # M-step reductions — pure VPU (a batched Mosaic f32 dot would round
+        # operands through bf16; three lane reductions are exact and cheap).
+        p1_ref[:] += jnp.sum(p, axis=2, keepdims=True)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (bsz, m_pad, 3), 2)
+        px_acc = jnp.zeros((bsz, m_pad, 3), jnp.float32)
+        for d in range(3):
+            s = jnp.sum(p * xt_ref[:, d : d + 1, :], axis=2, keepdims=True)
+            px_acc += jnp.where(lane3 == d, s, 0.0)
+        px_ref[:] += px_acc
+
+        pt1 = jnp.sum(p, axis=1, keepdims=True)  # (B, 1, T)
+        xsq = jnp.sum(xt_ref[:] * xt_ref[:], axis=1, keepdims=True)
+        np_t = jnp.sum(pt1, axis=2, keepdims=True)  # (B, 1, 1)
+        trx = jnp.sum(pt1 * xsq, axis=2, keepdims=True)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (bsz, 1, 2), 2)
+        scal_out_ref[:] += jnp.where(lane2 == 0, np_t, trx)
+
+
+@functools.partial(jax.jit, static_argnames=("two_phase", "tile_n", "interpret"))
+def fused_estep_packed_batch(
+    scalars,  # (B, 8, 128)
+    yp,  # (B, m_pad, 3)
+    coordp,  # (B, m_pad, 1)
+    nmp,  # (B, m_pad, 1)
+    pvp,  # (B, m_pad, 1)
+    xt,  # (B, 3, n_pad)
+    xmp,  # (B, 1, n_pad)
+    two_phase: bool = False,
+    tile_n: int = 512,
+    interpret: bool = False,
+):
+    """Batched fused_estep_packed: all B streams per grid step.
+
+    Returns (p1 (B,m_pad,1), px (B,m_pad,3), scal (B,1,2), short (B,m_pad,1));
+    ``short`` carries the 1e5 sentinel when every stream's gate is off."""
+    bsz, m_pad, _ = yp.shape
+    n_pad = xt.shape[2]
+    n_tiles = n_pad // tile_n
+    grid = (2 if two_phase else 1, n_tiles)
+    # Tile liveness across streams: skip a tile only when NO stream has a
+    # valid point there (capacity padding is shared, so dead tails align).
+    tile_live = jnp.broadcast_to(
+        jnp.max(xmp.reshape(bsz, n_tiles, tile_n), axis=(0, 2))[:, None, None],
+        (n_tiles, 8, 128),
+    ).reshape(n_tiles * 8, 128)
+    gate_any = jnp.broadcast_to(jnp.max(scalars[:, 3, 0]), (8, 128))
+    inv_s2 = jnp.broadcast_to(
+        -0.5 / scalars[:, 0:1, 0:1], (bsz, m_pad, 1)
+    )
+
+    full3 = lambda shape: pl.BlockSpec(shape, lambda p, i: (0, 0, 0), memory_space=pltpu.VMEM)
+    p1, px, scal, short = pl.pallas_call(
+        functools.partial(_estep_kernel_batch, two_phase),
+        grid=grid,
+        in_specs=[
+            full3((bsz, 8, 128)),
+            full3((bsz, m_pad, 3)),
+            full3((bsz, m_pad, 1)),
+            full3((bsz, m_pad, 1)),
+            full3((bsz, m_pad, 1)),
+            pl.BlockSpec((bsz, 3, tile_n), lambda p, i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz, 1, tile_n), lambda p, i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda p, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda p, i: (0, 0), memory_space=pltpu.VMEM),
+            full3((bsz, m_pad, 1)),
+        ],
+        out_specs=[
+            full3((bsz, m_pad, 1)),
+            full3((bsz, m_pad, 3)),
+            full3((bsz, 1, 2)),
+            full3((bsz, m_pad, 1)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, m_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, m_pad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, 2), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, m_pad, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scalars, yp, coordp, nmp, pvp, xt, xmp, tile_live, gate_any, inv_s2)
     return p1, px, scal, short
 
 
