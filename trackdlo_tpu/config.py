@@ -104,6 +104,12 @@ class TrackerParams:
     # semantics essentially exactly (candidate occupancy == oracle voxel
     # occupancy; see perf/cell_parity_sweep.py). Costs ~4x the pooling work.
     parity_split: bool = False
+    # Fixed candidate capacity of the parity-split compaction (512 per
+    # channel). Measured worst-case occupancy across the six scenarios is
+    # 192/channel (perf/parity_stage_bench.py) — 2.7x headroom; the old
+    # 8192 cap made the channelled compact+snap ~8x more expensive for
+    # nothing.
+    parity_candidate_cap: int = 4096
     # LLE chain neighbourhood size k (trackdlo.cpp:236 hardcodes 6).
     lle_k: int = 6
     # Initial sigma^2 after node initialization (trackdlo_node.cpp:133).

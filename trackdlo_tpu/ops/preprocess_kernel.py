@@ -147,32 +147,45 @@ def _make_kernel(
             sz_ref[:] = jnp.zeros_like(sz_ref)
             cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
+        # Runtime row-block skip: a 64-row block with no masked pixel
+        # contributes exactly zero to every cell sum, and on rope frames
+        # most blocks are empty — the binning matmuls (the bulk of the
+        # kernel, especially 8-channel parity mode) are predicated out.
+        block_live = jnp.max(maskf) > 0
+
         if not parity_split:
-            sx_ref[:] += bin2d(x3, maskf)
-            sy_ref[:] += bin2d(y3, maskf)
-            sz_ref[:] += bin2d(z, maskf)
-            cnt_ref[:] += bin2d(jnp.ones_like(z), maskf, exact=False)
+
+            @pl.when(block_live)
+            def _bin_plain():
+                sx_ref[:] += bin2d(x3, maskf)
+                sy_ref[:] += bin2d(y3, maskf)
+                sz_ref[:] += bin2d(z, maskf)
+                cnt_ref[:] += bin2d(jnp.ones_like(z), maskf, exact=False)
+
         else:
-            # 8 voxel-parity channels (floor(coord/leaf) mod 2 per axis): a
-            # cell straddling a voxel boundary splits into per-voxel
-            # candidates, making the downstream snap exactly PCL VoxelGrid
-            # (see ops/preprocess.preprocess_frame parity_split).
-            par_x = jnp.floor(x3 * inv_leaf).astype(jnp.int32) & 1
-            par_y = jnp.floor(y3 * inv_leaf).astype(jnp.int32) & 1
-            par_z = jnp.floor(z * inv_leaf).astype(jnp.int32) & 1
-            ones = jnp.ones_like(z)
-            for ci in range(8):
-                bx, by, bz = (ci >> 2) & 1, (ci >> 1) & 1, ci & 1
-                ch = (
-                    maskf
-                    * (par_x == bx).astype(jnp.float32)
-                    * (par_y == by).astype(jnp.float32)
-                    * (par_z == bz).astype(jnp.float32)
-                )
-                sx_ref[ci] = sx_ref[ci] + bin2d(x3, ch)
-                sy_ref[ci] = sy_ref[ci] + bin2d(y3, ch)
-                sz_ref[ci] = sz_ref[ci] + bin2d(z, ch)
-                cnt_ref[ci] = cnt_ref[ci] + bin2d(ones, ch, exact=False)
+
+            @pl.when(block_live)
+            def _bin_parity():
+                # 8 voxel-parity channels (floor(coord/leaf) mod 2 per axis):
+                # a cell straddling a voxel boundary splits into per-voxel
+                # candidates, making the downstream snap exactly PCL VoxelGrid
+                # (see ops/preprocess.preprocess_frame parity_split).
+                par_x = jnp.floor(x3 * inv_leaf).astype(jnp.int32) & 1
+                par_y = jnp.floor(y3 * inv_leaf).astype(jnp.int32) & 1
+                par_z = jnp.floor(z * inv_leaf).astype(jnp.int32) & 1
+                ones = jnp.ones_like(z)
+                for ci in range(8):
+                    bx, by, bz = (ci >> 2) & 1, (ci >> 1) & 1, ci & 1
+                    ch = (
+                        maskf
+                        * (par_x == bx).astype(jnp.float32)
+                        * (par_y == by).astype(jnp.float32)
+                        * (par_z == bz).astype(jnp.float32)
+                    )
+                    sx_ref[ci] = sx_ref[ci] + bin2d(x3, ch)
+                    sy_ref[ci] = sy_ref[ci] + bin2d(y3, ch)
+                    sz_ref[ci] = sz_ref[ci] + bin2d(z, ch)
+                    cnt_ref[ci] = cnt_ref[ci] + bin2d(ones, ch, exact=False)
 
     return kernel
 
