@@ -76,11 +76,37 @@ def ros_stubs(monkeypatch):
         pointcloud2_to_xyz_array=lambda msg: msg.arr
     )
 
+    class _Marker:
+        SPHERE = 2
+        CYLINDER = 3
+        ADD = 0
+
+        def __init__(self):
+            self.header = types.SimpleNamespace(stamp=None, frame_id="")
+            self.pose = types.SimpleNamespace(
+                position=types.SimpleNamespace(x=0.0, y=0.0, z=0.0),
+                orientation=types.SimpleNamespace(w=1.0, x=0.0, y=0.0, z=0.0),
+            )
+            self.scale = types.SimpleNamespace(x=0.0, y=0.0, z=0.0)
+            self.color = types.SimpleNamespace(r=0.0, g=0.0, b=0.0, a=0.0)
+
+    class _MarkerArray:
+        def __init__(self):
+            self.markers = []
+
+    visualization_msgs = types.ModuleType("visualization_msgs")
+    visualization_msgs_msg = types.ModuleType("visualization_msgs.msg")
+    visualization_msgs_msg.Marker = _Marker
+    visualization_msgs_msg.MarkerArray = _MarkerArray
+    visualization_msgs.msg = visualization_msgs_msg
+
     mods = {
         "rospy": rospy,
         "message_filters": message_filters,
         "sensor_msgs": sensor_msgs,
         "sensor_msgs.msg": sensor_msgs_msg,
+        "visualization_msgs": visualization_msgs,
+        "visualization_msgs.msg": visualization_msgs_msg,
         "ros_numpy": ros_numpy,
     }
     for name, mod in mods.items():
@@ -94,7 +120,9 @@ def test_ros_node_full_callback_path(ros_stubs):
     from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
 
     intr = CameraIntrinsics(fx=120.0, fy=120.0, cx=80.0, cy=60.0, width=160, height=120)
-    params = live_params(max_points=256, downsample_cell_px=4)
+    # cell_px=2 keeps enough cloud detail at this tiny resolution for some
+    # nodes to be visible, so guide nodes / priors have nonzero payloads.
+    params = live_params(max_points=256, downsample_cell_px=2)
     node = RosTrackerNode(params)
 
     # Camera info arrives (trackdlo_node.cpp param wiring).
@@ -117,13 +145,35 @@ def test_ros_node_full_callback_path(ros_stubs):
         sync.cb(_FakeMsg(arr=rgb), _FakeMsg(arr=depth))
 
     assert node.tracker is not None
-    assert len(node.pub_results_pc.published) == 1
-    assert len(node.pub_img.published) == 1
+    # All six reference topics publish (trackdlo_node.cpp:603-612).
+    for pub in (
+        node.pub_results_pc,
+        node.pub_filtered_pc,
+        node.pub_img,
+        node.pub_results_marker,
+        node.pub_guide_nodes,
+        node.pub_corr_priors,
+    ):
+        assert len(pub.published) == 1, pub.topic
     pc = node.pub_results_pc.published[0]
     assert pc.header.stamp == 123  # eval-sync stamp passthrough
     assert len(pc.arr) == params.M
     img = node.pub_img.published[0].arr
     assert img.shape == (intr.height, intr.width, 3)
+
+    # Filtered cloud: the downsampled input points, a plausible nonzero count.
+    filt = node.pub_filtered_pc.published[0].arr
+    assert 0 < len(filt) <= params.max_points
+
+    # Guide nodes: prefix-packed pre-registration output.
+    guides = node.pub_guide_nodes.published[0].arr
+    assert 0 < len(guides) <= params.M
+    assert np.isfinite(guides["x"]).all()
+
+    # Marker array: M spheres + (M-1) cylinders with finite geometry.
+    arr = node.pub_results_marker.published[0]
+    assert len(arr.markers) == 2 * params.M - 1
+    assert all(np.isfinite(m.pose.position.x) for m in arr.markers)
 
 
 def test_ros_node_occlusion_mask_feeds_step(ros_stubs):

@@ -49,6 +49,8 @@ class RosTrackerNode:  # covered by tests/test_ros_adapter.py with stubbed ROS
         )
         rospy.Subscriber("/mask_with_occlusion", Image, self._on_occlusion_mask)
 
+        from visualization_msgs.msg import MarkerArray
+
         self.pub_results_pc = rospy.Publisher(
             "/trackdlo/results_pc", PointCloud2, queue_size=30
         )
@@ -56,6 +58,18 @@ class RosTrackerNode:  # covered by tests/test_ros_adapter.py with stubbed ROS
             "/trackdlo/filtered_pointcloud", PointCloud2, queue_size=30
         )
         self.pub_img = rospy.Publisher("/trackdlo/results_img", Image, queue_size=30)
+        # Diagnostic topics (trackdlo_node.cpp:455-458, 503-508, 603-612):
+        # guide nodes and correspondence priors are published specifically so
+        # tracking failures can be diagnosed live in RViz.
+        self.pub_results_marker = rospy.Publisher(
+            "/trackdlo/results_marker", MarkerArray, queue_size=30
+        )
+        self.pub_guide_nodes = rospy.Publisher(
+            "/trackdlo/guide_nodes", PointCloud2, queue_size=30
+        )
+        self.pub_corr_priors = rospy.Publisher(
+            "/trackdlo/corr_priors", PointCloud2, queue_size=30
+        )
 
         rgb_sub = message_filters.Subscriber(rgb_topic, Image)
         depth_sub = message_filters.Subscriber(depth_topic, Image)
@@ -109,26 +123,88 @@ class RosTrackerNode:  # covered by tests/test_ros_adapter.py with stubbed ROS
         )
         self._publish(rgb, rgb_msg.header.stamp, out)
 
-    def _publish(self, rgb, stamp, out):
+    def _xyz_cloud_msg(self, pts, stamp):
         import ros_numpy
         from sensor_msgs.msg import PointCloud2
 
-        y = np.asarray(out.y)
+        pts = np.asarray(pts, np.float32).reshape(-1, 3)
         cloud = np.zeros(
-            len(y), dtype=[("x", np.float32), ("y", np.float32), ("z", np.float32)]
+            len(pts), dtype=[("x", np.float32), ("y", np.float32), ("z", np.float32)]
         )
-        cloud["x"], cloud["y"], cloud["z"] = y[:, 0], y[:, 1], y[:, 2]
+        cloud["x"], cloud["y"], cloud["z"] = pts[:, 0], pts[:, 1], pts[:, 2]
         msg = ros_numpy.msgify(PointCloud2, cloud)
         msg.header.frame_id = self.result_frame_id
-        msg.header.stamp = stamp  # eval sync (trackdlo_node.cpp:499)
-        self.pub_results_pc.publish(msg)
+        msg.header.stamp = stamp
+        return msg
+
+    def _marker_array_msg(self, y, visible, stamp):
+        """MarkerArray from viz.geometry_markers dicts
+        (MatrixXd2MarkerArray twin, utils.cpp:244-357)."""
+        from visualization_msgs.msg import Marker, MarkerArray
+
+        from trackdlo_tpu.utils.viz import geometry_markers
+
+        arr = MarkerArray()
+        markers = []
+        for i, d in enumerate(
+            geometry_markers(y, frame_id=self.result_frame_id, visible=visible)
+        ):
+            m = Marker()
+            m.header.frame_id = self.result_frame_id
+            m.header.stamp = stamp
+            m.ns = d["ns"]
+            m.id = d["id"]
+            m.type = Marker.SPHERE if d["type"] == "sphere" else Marker.CYLINDER
+            m.action = Marker.ADD
+            px, py, pz = d["position"]
+            m.pose.position.x, m.pose.position.y, m.pose.position.z = px, py, pz
+            qw, qx, qy, qz = d["orientation"]
+            m.pose.orientation.w = qw
+            m.pose.orientation.x = qx
+            m.pose.orientation.y = qy
+            m.pose.orientation.z = qz
+            m.scale.x, m.scale.y, m.scale.z = d["scale"]
+            m.color.r, m.color.g, m.color.b, m.color.a = d["color"]
+            markers.append(m)
+        arr.markers = markers
+        return arr
+
+    def _publish(self, rgb, stamp, out):
+        import ros_numpy
+
+        y = np.asarray(out.y)
+        # Result nodes: stamped with the input stamp for eval sync
+        # (trackdlo_node.cpp:499).
+        self.pub_results_pc.publish(self._xyz_cloud_msg(y, stamp))
+
+        # Downsampled input cloud (trackdlo_node.cpp:603 filtered_pointcloud).
+        pts_mask = np.asarray(out.points_mask, bool)
+        self.pub_filtered_pc.publish(
+            self._xyz_cloud_msg(np.asarray(out.points)[pts_mask], stamp)
+        )
+
+        # Diagnostic surface: guide nodes from the pre-registration pass and
+        # the correspondence priors fed to the main EM
+        # (trackdlo_node.cpp:455-458, 503-508).
+        n_guide = int(np.asarray(out.guide_count))
+        self.pub_guide_nodes.publish(
+            self._xyz_cloud_msg(np.asarray(out.guide_nodes)[:n_guide], stamp)
+        )
+        prior_mask = np.asarray(out.prior_mask, bool)
+        self.pub_corr_priors.publish(
+            self._xyz_cloud_msg(np.asarray(out.prior_pos)[prior_mask], stamp)
+        )
+
+        visible = np.asarray(out.not_self_occluded)
+        self.pub_results_marker.publish(self._marker_array_msg(y, visible, stamp))
+
+        from sensor_msgs.msg import Image
 
         from trackdlo_tpu.utils.viz import draw_tracking_overlay
-        from sensor_msgs.msg import Image
 
         overlay = draw_tracking_overlay(
             rgb, y, self.intrinsics.proj_matrix(),
-            visible=np.asarray(out.not_self_occluded),
+            visible=visible,
             occlusion_mask=self.occlusion_mask,
         )
         self.pub_img.publish(ros_numpy.msgify(Image, overlay, encoding="rgb8"))
