@@ -17,24 +17,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from trackdlo_tpu.config import CameraIntrinsics, TrackerParams
-from trackdlo_tpu.models.trackdlo import TrackerState, init_state
+from trackdlo_tpu.models.trackdlo import (
+    TrackerState,
+    _resolve_use_pallas,
+    init_state,
+    preprocess_for_step,
+)
 from trackdlo_tpu.ops.cpd_lle import CpdParams, cpd_lle
-from trackdlo_tpu.ops.preprocess import default_cell_px, preprocess_frame
+from trackdlo_tpu.ops.preprocess import default_cell_px
 
 
 def _gltp_step(state, rgb, depth, occlusion_mask, *, params, intr, cell_px):
-    import jax as _jax
-
-    use_pallas = (
-        params.use_pallas_estep
-        if params.use_pallas_estep is not None
-        else _jax.default_backend() != "cpu"
-    )
-    pc = preprocess_frame(
+    use_pallas = _resolve_use_pallas(params)
+    # Same front end as the flagship (incl. Pallas kernel and exact-voxel /
+    # parity options): the reference scores algorithms on identical input
+    # (run_evaluation.cpp:457).
+    pc = preprocess_for_step(
         rgb, depth, occlusion_mask,
-        intr.fx, intr.fy, intr.cx, intr.cy,
-        params.hsv_lower, params.hsv_upper, params.multi_color_dlo,
-        cell_px, params.max_points,
+        params=params, intr=intr, cell_px=cell_px, use_pallas=use_pallas,
     )
     m = params.num_of_nodes
     res = cpd_lle(

@@ -74,6 +74,67 @@ def _resolve_use_pallas(params: TrackerParams) -> bool:
     return jax.default_backend() != "cpu"
 
 
+def preprocess_for_step(
+    rgb: jnp.ndarray,
+    depth: jnp.ndarray,
+    occlusion_mask: jnp.ndarray,
+    *,
+    params: TrackerParams,
+    intr: CameraIntrinsics,
+    cell_px: int,
+    use_pallas: bool,
+):
+    """L2 preprocessing (trackdlo_node.cpp:155-243), shared by every model
+    family so algorithms are scored on identical point clouds — the
+    reference evaluates gltp/cdcpd on the same input stream
+    (run_evaluation.cpp:457).
+
+    With exact_voxels, cell centroids additionally snap to 3-D voxel bins
+    (two-stage). Cells stay at the leaf footprint: halving them costs ~10x
+    in the cell argsort on TPU for <0.1 mm of parity (perf/microbench.py).
+    On TPU the mask→deproject→cell-pool front end is one Pallas kernel
+    (ops/preprocess_kernel.py)."""
+    voxel_leaf = params.downsample_leaf_size if params.exact_voxels else None
+    candidate_cap = (
+        params.parity_candidate_cap if params.parity_split else 4096
+    )
+    if use_pallas:
+        from trackdlo_tpu.ops.preprocess import compact_cells
+        from trackdlo_tpu.ops.preprocess_kernel import cell_sums_pallas
+
+        cells, counts = cell_sums_pallas(
+            rgb, depth, occlusion_mask,
+            intr.fx, intr.fy, intr.cx, intr.cy,
+            params.hsv_lower, params.hsv_upper, params.multi_color_dlo,
+            cell_px,
+            interpret=jax.default_backend() != "tpu",
+            parity_split=params.parity_split and voxel_leaf is not None,
+            voxel_leaf=voxel_leaf,
+        )
+        return compact_cells(
+            cells, counts, params.max_points, voxel_leaf,
+            candidate_cap=candidate_cap,
+            n_channels=8 if (params.parity_split and voxel_leaf is not None) else 1,
+        )
+    return preprocess_frame(
+        rgb,
+        depth,
+        occlusion_mask,
+        intr.fx,
+        intr.fy,
+        intr.cx,
+        intr.cy,
+        params.hsv_lower,
+        params.hsv_upper,
+        params.multi_color_dlo,
+        cell_px,
+        params.max_points,
+        voxel_leaf=voxel_leaf,
+        candidate_cap=candidate_cap,
+        parity_split=params.parity_split,
+    )
+
+
 def _step_impl(
     state: TrackerState,
     rgb: jnp.ndarray,
@@ -88,50 +149,10 @@ def _step_impl(
     proj = jnp.asarray(np.array(intr.proj_matrix(), np.float32))
     use_pallas = _resolve_use_pallas(params)
 
-    # L2: preprocessing (trackdlo_node.cpp:155-243). With exact_voxels, cell
-    # centroids additionally snap to 3-D voxel bins (two-stage). Cells stay
-    # at the leaf footprint: halving them costs ~10x in the cell argsort on
-    # TPU for <0.1 mm of parity (perf/microbench.py). On TPU the
-    # mask→deproject→cell-pool front end is one Pallas kernel
-    # (ops/preprocess_kernel.py).
-    eff_cell = cell_px
-    voxel_leaf = params.downsample_leaf_size if params.exact_voxels else None
-    if use_pallas:
-        from trackdlo_tpu.ops.preprocess import compact_cells
-        from trackdlo_tpu.ops.preprocess_kernel import cell_sums_pallas
-
-        cells, counts = cell_sums_pallas(
-            rgb, depth, occlusion_mask,
-            intr.fx, intr.fy, intr.cx, intr.cy,
-            params.hsv_lower, params.hsv_upper, params.multi_color_dlo,
-            eff_cell,
-            interpret=jax.default_backend() != "tpu",
-            parity_split=params.parity_split and voxel_leaf is not None,
-            voxel_leaf=voxel_leaf,
-        )
-        pc = compact_cells(
-            cells, counts, params.max_points, voxel_leaf,
-            candidate_cap=8192 if params.parity_split else 4096,
-            n_channels=8 if (params.parity_split and voxel_leaf is not None) else 1,
-        )
-    else:
-        pc = preprocess_frame(
-            rgb,
-            depth,
-            occlusion_mask,
-            intr.fx,
-            intr.fy,
-            intr.cx,
-            intr.cy,
-            params.hsv_lower,
-            params.hsv_upper,
-            params.multi_color_dlo,
-            eff_cell,
-            params.max_points,
-            voxel_leaf=voxel_leaf,
-            candidate_cap=8192 if params.parity_split else 4096,
-            parity_split=params.parity_split,
-        )
+    pc = preprocess_for_step(
+        rgb, depth, occlusion_mask,
+        params=params, intr=intr, cell_px=cell_px, use_pallas=use_pallas,
+    )
 
     return _track_from_points(
         state, pc, proj,
@@ -197,9 +218,17 @@ def _track_from_points(
         start = rank * chunk
         em_points = jax.lax.dynamic_slice(pc.points, (start, 0), (chunk, 3))
         em_mask = jax.lax.dynamic_slice(pc.mask, (start,), (chunk,))
+        em_pmin_ext = jax.lax.dynamic_slice(
+            vis.point_min_sq_ext, (start,), (chunk,)
+        )
+        em_pmin_all = jax.lax.dynamic_slice(
+            vis.point_min_sq_all, (start,), (chunk,)
+        )
     else:
         em_points = pc.points
         em_mask = pc.mask
+        em_pmin_ext = vis.point_min_sq_ext
+        em_pmin_all = vis.point_min_sq_all
 
     # L4a: guide nodes = Y at extended-visible indices (trackdlo.cpp:913-921),
     # pre-registered by the GLTP pass (trackdlo.cpp:925-927).
@@ -227,6 +256,9 @@ def _track_from_points(
             solver=params.solver,
         ),
         axis_name=model_axis,
+        # Guide nodes are Y[extended], so the prune-vs-guides sweep is the
+        # visibility kernel's extended-subset point min (computed once).
+        point_min_sq=em_pmin_ext,
     )
     guide_nodes = pre.y
 
@@ -271,6 +303,7 @@ def _track_from_points(
         prior_mask=priors.prior_mask,
         visible_count=vis.vis_ext_count,
         axis_name=model_axis,
+        point_min_sq=em_pmin_all,
     )
 
     new_state = TrackerState(

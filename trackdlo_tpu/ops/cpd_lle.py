@@ -49,6 +49,14 @@ def _solve_lu(a_mat: jnp.ndarray, b_mat: jnp.ndarray) -> jnp.ndarray:
     jnp.linalg.solve would be batch-SEQUENTIAL LU, so the vmap rule uses the
     same batched kernel (all systems in one 48-step elimination).
     Non-TPU backends keep plain LU.
+
+    NOTE: the route is chosen from ``jax.default_backend()`` at TRACE time,
+    not the actual lowering platform. Tracing for a non-default device (an
+    explicit CPU-device jit inside a TPU-default process) would stage the
+    TPU kernel with interpret=False and fail to lower. The repo switches
+    platforms globally (tests set jax_platforms=cpu), so this never bites
+    in-tree; revisit with jax.lax.platform_dependent if mixed-device jits
+    ever appear.
     """
     if jax.default_backend() == "tpu":
         from trackdlo_tpu.ops.pallas_kernels import gauss_jordan_solve_batched
@@ -195,6 +203,7 @@ def cpd_lle(
     prior_mask: jnp.ndarray | None = None,
     visible_count: jnp.ndarray | None = None,
     axis_name: str | None = None,
+    point_min_sq: jnp.ndarray | None = None,
 ) -> CpdResult:
     """EM registration of the (masked) node chain to the (masked) point set.
 
@@ -213,6 +222,14 @@ def cpd_lle(
     counts, P1, PX, σ² traces, nearest-point distances) becomes a psum/pmin
     collective over that axis; node-space state stays replicated. This is the
     sequence-parallel scaling path for large clouds (SURVEY.md §5).
+
+    ``point_min_sq``: optional (N,) per-point min squared distance to the
+    valid nodes of ``y``, as already computed by the visibility pass
+    (VisibilityOut.point_min_sq_all/_ext). When given, the pre-EM prune
+    (trackdlo.cpp:177-195) consumes it instead of re-materializing the
+    (M, N) sweep — the frame then runs ONE pre-EM sweep total. PRECONDITION:
+    ``sigma2 > 0`` (the from-distances init of trackdlo.cpp:271-273 needs
+    the full sweep; the tracker always passes sigma2 >= sigma2_init > 0).
     """
     # On TPU, f32 matmuls default to bf16 MXU passes; the EM's solves and
     # trace updates need full f32 (the compute here is negligible — the tensors
@@ -220,7 +237,7 @@ def cpd_lle(
     with jax.default_matmul_precision("highest"):
         return _cpd_lle_impl(
             x, x_mask, y, node_mask, sigma2, params, prior_pos, prior_mask,
-            visible_count, axis_name,
+            visible_count, axis_name, point_min_sq,
         )
 
 
@@ -235,6 +252,7 @@ def _cpd_lle_impl(
     prior_mask: jnp.ndarray | None = None,
     visible_count: jnp.ndarray | None = None,
     axis_name: str | None = None,
+    point_min_sq: jnp.ndarray | None = None,
 ) -> CpdResult:
     dtype = y.dtype
     m = y.shape[0]
@@ -251,10 +269,16 @@ def _cpd_lle_impl(
     y0 = y
 
     # Prune points farther than prune_radius from every node
-    # (trackdlo.cpp:177-195): fold into the validity mask.
-    sq_d0 = pairwise_sq_dists(y0, x)  # (M, N)
-    sq_d0_nodesafe = jnp.where(node_mask[:, None], sq_d0, _BIG)
-    x_mask = x_mask & (jnp.min(sq_d0_nodesafe, axis=0) < params.prune_radius**2)
+    # (trackdlo.cpp:177-195): fold into the validity mask. With a
+    # precomputed per-point min (the visibility pass's sweep) the (M, N)
+    # distances are not materialized here at all.
+    if point_min_sq is None:
+        sq_d0 = pairwise_sq_dists(y0, x)  # (M, N)
+        sq_d0_nodesafe = jnp.where(node_mask[:, None], sq_d0, _BIG)
+        point_min_sq = jnp.min(sq_d0_nodesafe, axis=0)
+    else:
+        sq_d0 = None
+    x_mask = x_mask & (point_min_sq < params.prune_radius**2)
     n_count = psum(jnp.sum(x_mask.astype(dtype)))
     n_safe = jnp.maximum(n_count, 1.0)
 
@@ -300,9 +324,14 @@ def _cpd_lle_impl(
         vis_gate = jnp.asarray(False)
 
     # sigma2 == 0 → initialize from mean squared distance (trackdlo.cpp:271-273).
-    masked_sq_d0 = jnp.where(x_mask[None, :] & node_mask[:, None], sq_d0, 0.0)
-    sigma2_init = psum(jnp.sum(masked_sq_d0)) / (d * jnp.maximum(v_count, 1) * n_safe)
-    sigma2 = jnp.where(sigma2 == 0, sigma2_init, sigma2)
+    # Unavailable without the materialized sweep; point_min_sq callers
+    # guarantee sigma2 > 0 (see cpd_lle docstring).
+    if sq_d0 is not None:
+        masked_sq_d0 = jnp.where(x_mask[None, :] & node_mask[:, None], sq_d0, 0.0)
+        sigma2_init = psum(jnp.sum(masked_sq_d0)) / (
+            d * jnp.maximum(v_count, 1) * n_safe
+        )
+        sigma2 = jnp.where(sigma2 == 0, sigma2_init, sigma2)
 
     pair_valid = node_mask[:, None] & x_mask[None, :]
     eye = jnp.eye(m, dtype=dtype)

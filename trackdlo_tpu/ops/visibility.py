@@ -35,6 +35,13 @@ class VisibilityOut(NamedTuple):
     vis_count: jnp.ndarray
     vis_ext_idx: jnp.ndarray  # (M,) prefix-packed extended indices
     vis_ext_count: jnp.ndarray
+    # Per-POINT min squared node distance, over all nodes / over the
+    # extended-visible subset: the other reduction of the same (M, N) sweep.
+    # cpd_lle's prune (trackdlo.cpp:177-195) consumes these so the per-frame
+    # step computes the M×N sweep ONCE (SURVEY.md §3.1 notes the reference
+    # computes it twice; round 2 of this repo computed it three times).
+    point_min_sq_all: jnp.ndarray | None = None  # (N,)
+    point_min_sq_ext: jnp.ndarray | None = None  # (N,)
 
 
 def pack_indices(mask: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -133,6 +140,9 @@ def compute_visibility(
     vis_idx, vis_count = pack_indices(visible)
     ext_idx, ext_count = pack_indices(extended)
 
+    point_min_sq_all = jnp.min(sq, axis=0)
+    point_min_sq_ext = jnp.min(jnp.where(extended[:, None], sq, 1e10), axis=0)
+
     return VisibilityOut(
         visible_mask=visible,
         extended_mask=extended,
@@ -142,4 +152,6 @@ def compute_visibility(
         vis_count=vis_count,
         vis_ext_idx=ext_idx,
         vis_ext_count=ext_count,
+        point_min_sq_all=point_min_sq_all,
+        point_min_sq_ext=point_min_sq_ext,
     )

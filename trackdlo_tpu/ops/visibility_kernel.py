@@ -44,7 +44,10 @@ def _visibility_kernel(
     vis_idx_ref,  # out (m_pad, 1) packed visible indices (f32)
     ext_idx_ref,  # out (m_pad, 1) packed extended indices (f32)
     counts_ref,  # out (1, 2): vis_count, ext_count
+    point_min_all_ref,  # out (1, n_pad) per-point min sq over valid nodes
+    point_min_ext_ref,  # out (1, n_pad) ... over extended-visible nodes
     short_scr,  # scratch (m_pad, 1) squared minima
+    sq_scr,  # scratch (m_pad, n_pad): the full sweep, kept for phase 1
 ):
     phase = pl.program_id(0)
     t = pl.program_id(1)
@@ -67,6 +70,11 @@ def _visibility_kernel(
             sq += diff * diff
         sq = jnp.where(x_mask_ref[0, :][None, :] > 0, sq, _BIG)
         short_scr[:] = jnp.minimum(short_scr[:], jnp.min(sq, axis=1, keepdims=True))
+        # Keep the whole sweep resident (m_pad × n_pad ≈ 0.8 MB VMEM at the
+        # default capacity): phase 1 reduces it along nodes for the EM prune,
+        # so the frame never computes the M×N distances again.
+        tile_n = xt_ref.shape[1]
+        sq_scr[:, pl.dslice(t * tile_n, tile_n)] = sq
 
     @pl.when((phase == 1) & (t == 0))
     def _finish():
@@ -214,6 +222,17 @@ def _visibility_kernel(
         pack(visible_f, vis_idx_ref)
         pack(extended, ext_idx_ref)
 
+        # Per-point min over nodes from the resident sweep — the EM prune
+        # inputs (all nodes for the main pass, extended subset for the
+        # pre-registration pass whose guide nodes are Y[extended]).
+        sq_all = sq_scr[:]
+        point_min_all_ref[:] = jnp.min(
+            jnp.where(node_valid > 0, sq_all, _BIG), axis=0, keepdims=True
+        )
+        point_min_ext_ref[:] = jnp.min(
+            jnp.where(extended > 0, sq_all, _BIG), axis=0, keepdims=True
+        )
+
         visible_ref[:] = visible_f
         extended_ref[:] = extended
         not_occ_ref[:] = not_occ.astype(jnp.float32)
@@ -282,15 +301,21 @@ def fused_visibility(
             pl.BlockSpec((1, tile_n), tiled, memory_space=pltpu.VMEM),
         ],
         out_specs=[col(), col(), col(), col(), col(), col(),
-                   pl.BlockSpec((1, 2), full, memory_space=pltpu.VMEM)],
+                   pl.BlockSpec((1, 2), full, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, n_pad), full, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, n_pad), full, memory_space=pltpu.VMEM)],
         out_shape=[
             jax.ShapeDtypeStruct((m_pad, 1), jnp.float32) for _ in range(6)
-        ] + [jax.ShapeDtypeStruct((1, 2), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((m_pad, 1), jnp.float32)],
+        ] + [jax.ShapeDtypeStruct((1, 2), jnp.float32),
+             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+             jax.ShapeDtypeStruct((1, n_pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((m_pad, 1), jnp.float32),
+                        pltpu.VMEM((m_pad, n_pad), jnp.float32)],
         interpret=interpret,
     )(scalars_b, projp, yp, coordp, xt, xmp)
 
-    visible, extended, not_occ, shortest, vis_idx, ext_idx, counts = outs
+    (visible, extended, not_occ, shortest, vis_idx, ext_idx, counts,
+     point_min_all, point_min_ext) = outs
     return VisibilityOut(
         visible_mask=visible[:m, 0] > 0,
         extended_mask=extended[:m, 0] > 0,
@@ -300,4 +325,6 @@ def fused_visibility(
         vis_count=counts[0, 0].astype(jnp.int32),
         vis_ext_idx=jnp.clip(ext_idx[:m, 0].astype(jnp.int32), 0, m - 1),
         vis_ext_count=counts[0, 1].astype(jnp.int32),
+        point_min_sq_all=point_min_all[0, :n],
+        point_min_sq_ext=point_min_ext[0, :n],
     )
