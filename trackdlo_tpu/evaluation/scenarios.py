@@ -83,9 +83,13 @@ ALL_SCENARIOS = (
 
 
 def generate(scenario: Scenario, n_frames: int, intrinsics, m_nodes: int,
-             markers: int = 0):
+             markers: int = 0, noise_kwargs: dict | None = None):
     """Render the scenario: frames + exact GT nodes + the rate that maps
-    n_frames onto the scenario horizon."""
+    n_frames onto the scenario horizon.
+
+    ``noise_kwargs``: degraded-input render knobs (depth_noise_mm,
+    dropout_frac, clutter_blobs — io/sequence.render_frame); the per-frame
+    seed varies so noise is i.i.d. across the sequence like a real sensor."""
     from trackdlo_tpu.io.sequence import render_frame
 
     dt = 1.0 / 15.0
@@ -96,6 +100,9 @@ def generate(scenario: Scenario, n_frames: int, intrinsics, m_nodes: int,
         kw = dict(scenario.render_kwargs)
         if markers:
             kw["markers"] = markers
+        if noise_kwargs:
+            kw.update(noise_kwargs)
+            kw["seed"] = i + 1
         frames.append(render_frame(scenario.rope, t, intrinsics, **kw))
         gt.append(scenario.rope.nodes(t, m_nodes))
     return frames, np.asarray(gt), rate

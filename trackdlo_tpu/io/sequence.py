@@ -83,6 +83,8 @@ def render_frame(
     seed: int = 0,
     markers: int = 0,
     green_tip: bool = False,
+    dropout_frac: float = 0.0,
+    clutter_blobs: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Render an aligned RGB-D frame of the rope.
 
@@ -90,6 +92,17 @@ def render_frame(
     is 0 (no return), like unmatched RealSense pixels. With ``markers`` > 0,
     that many alternating red/yellow tape bands are painted at uniform arc
     length (the evaluation rope of the reference, evaluator.cpp:153-231).
+
+    Degraded-input knobs modeling real D435 streams (the reference's
+    verification medium is noisy recorded bags, docs/RUN.md:90-115):
+
+    - ``depth_noise_mm``: i.i.d. Gaussian depth noise on rope pixels,
+      mm-quantized like the sensor;
+    - ``dropout_frac``: fraction of rope pixels losing their depth return
+      (specular holes / unmatched stereo) — depth 0, RGB intact;
+    - ``clutter_blobs``: rope-colored discs at other depths in the
+      background (segmentation false positives the HSV mask passes and the
+      prune/EM must reject).
     """
     intr = intrinsics or CameraIntrinsics()
     h, w = intr.height, intr.width
@@ -133,13 +146,40 @@ def render_frame(
         rgb[vv, uu] = colors[k]
         depth[vv, uu] = np.uint16(round(z * 1000.0))
 
-    if depth_noise_mm > 0:
+    rng = None
+    if depth_noise_mm > 0 or dropout_frac > 0 or clutter_blobs > 0:
         rng = np.random.default_rng(seed)
+
+    if clutter_blobs > 0:
+        # Rope-colored discs at depths in front of / behind the rope plane:
+        # pass the HSV mask, must be rejected by the 0.1 m node prune
+        # (trackdlo.cpp:177-195) or absorbed as EM outliers.
+        zs = pts[:, 2]
+        for _ in range(clutter_blobs):
+            cu = int(rng.integers(r, w - r))
+            cv = int(rng.integers(r, h - r))
+            cz = float(rng.uniform(zs.min() - 0.4, zs.max() + 0.4))
+            if cz <= 0.05:
+                continue
+            uu = cu + du
+            vv = cv + dv
+            keep = depth[vv, uu] == 0  # don't overwrite the rope
+            rgb[vv[keep], uu[keep]] = _ROPE_RGB
+            depth[vv[keep], uu[keep]] = np.uint16(round(cz * 1000.0))
+
+    if depth_noise_mm > 0:
         on = depth > 0
         noise = rng.normal(0.0, depth_noise_mm, size=int(on.sum()))
         depth_f = depth.astype(np.int64)
         depth_f[on] += np.round(noise).astype(np.int64)
         depth = np.clip(depth_f, 0, 65535).astype(np.uint16)
+
+    if dropout_frac > 0:
+        on = np.argwhere(depth > 0)
+        k = int(len(on) * dropout_frac)
+        if k:
+            sel = on[rng.choice(len(on), size=k, replace=False)]
+            depth[sel[:, 0], sel[:, 1]] = 0
 
     return rgb, depth
 
