@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--occlude", action="store_true",
                     help="inject a mid-section occlusion for frames 10-20")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--cap", type=int, default=None,
+                    help="override parity_candidate_cap for the split run")
     ap.add_argument("--cpu", action="store_true", default=True)
     ap.add_argument("--tpu", action="store_true",
                     help="run the jitted trackers on the ambient (TPU) "
@@ -59,7 +61,13 @@ def main():
         "same_pts": Tracker(params, intr),
         "lstsq": Tracker(dataclasses.replace(params, solver="lstsq"), intr),
         # Voxel-parity-split preprocessing: near-exact PCL VoxelGrid clouds.
-        "split": Tracker(dataclasses.replace(params, parity_split=True), intr),
+        "split": Tracker(
+            dataclasses.replace(
+                params, parity_split=True,
+                **({"parity_candidate_cap": args.cap} if args.cap else {}),
+            ),
+            intr,
+        ),
     }
     states = {k: t.init_from_nodes(rope.nodes(0.0, m)) for k, t in trackers.items()}
     o_state = oracle_init(rope.nodes(0.0, m), params)       # reference run

@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 THRESHOLDS = {
     "preprocess_kernel_vs_xla_p95_m": 1e-3,
     "preprocess_kernel_count_delta": 4,
+    "preprocess_parity_vs_xla_p95_m": 1e-3,
+    "preprocess_parity_count_delta": 4,
     "em10_pallas_vs_xla_max_m": 2e-3,
     "em10_fusedmstep_vs_xla_max_m": 2e-3,
     "em10_batched_vs_single_max_m": 2e-3,
@@ -35,6 +37,7 @@ THRESHOLDS = {
     "visibility_pointmin_max": 1e-5,
     "priors_mask_mismatch": 0,
     "priors_pos_max_m": 1e-5,
+    "priors_batched_vs_single_max_m": 1e-6,
 }
 
 
@@ -101,6 +104,31 @@ def audit():
     d = np.linalg.norm(gp[:, None] - rp[None], axis=2).min(1)
     results["preprocess_kernel_vs_xla_p95_m"] = float(np.percentile(d, 95))
     results["preprocess_kernel_count_delta"] = int(pc_got.count) - int(pc_ref.count)
+
+    # Parity-split mode (8 voxel-parity channels), compiled vs XLA parity
+    # pooling — this is the live default's front end.
+    pc_ref_p = preprocess_frame(
+        rgbj, depthj, occ, intr.fx, intr.fy, intr.cx, intr.cy,
+        params.hsv_lower, params.hsv_upper, False, cell, params.max_points,
+        voxel_leaf=params.downsample_leaf_size,
+        candidate_cap=params.parity_candidate_cap, parity_split=True,
+    )
+    cl_p, ct_p = cell_sums_pallas(
+        rgbj, depthj, occ, intr.fx, intr.fy, intr.cx, intr.cy,
+        params.hsv_lower, params.hsv_upper, False, cell, interpret=False,
+        parity_split=True, voxel_leaf=params.downsample_leaf_size,
+    )
+    pc_got_p = compact_cells(
+        cl_p, ct_p, params.max_points, params.downsample_leaf_size,
+        candidate_cap=params.parity_candidate_cap, n_channels=8,
+    )
+    rp = np.asarray(pc_ref_p.points)[np.asarray(pc_ref_p.mask)]
+    gp = np.asarray(pc_got_p.points)[np.asarray(pc_got_p.mask)]
+    d = np.linalg.norm(gp[:, None] - rp[None], axis=2).min(1)
+    results["preprocess_parity_vs_xla_p95_m"] = float(np.percentile(d, 95))
+    results["preprocess_parity_count_delta"] = int(pc_got_p.count) - int(
+        pc_ref_p.count
+    )
 
     # --- EM: fused Pallas iterations (compiled) vs the XLA while_loop -----
     x, xm = pc_ref.points, pc_ref.mask
@@ -211,6 +239,18 @@ def audit():
     )
     diff = np.abs(np.asarray(pr_x.prior_pos) - np.asarray(pr_p.prior_pos))[both]
     results["priors_pos_max_m"] = float(diff.max()) if diff.size else 0.0
+
+    # Row-packed batched walks (round 3): under vmap the 4·B walks of a
+    # stream batch pack into one kernel call; must match the single-stream
+    # kernel exactly.
+    pr_b = jax.vmap(
+        lambda yy: correspondence_priors(
+            yy, geo_j, yy, vidx, vcnt, vidx, vcnt, use_pallas=True,
+        ).prior_pos
+    )(jnp.broadcast_to(nodes, (4,) + nodes.shape))
+    results["priors_batched_vs_single_max_m"] = float(
+        jnp.max(jnp.abs(pr_b - pr_p.prior_pos[None]))
+    )
 
     return results
 

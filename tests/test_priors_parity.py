@@ -270,3 +270,51 @@ class TestFusedWalksKernel:
             * np.asarray(ref.prior_mask)
         )
         assert err.max() < 1e-5, err.max()
+
+    def test_batched_vmap_matches_per_stream(self, chain):
+        """Under jax.vmap the walks of all streams pack into ONE kernel call
+        (4·B rows); results must match the per-stream kernel exactly."""
+        import jax
+
+        y, coord = chain
+        cases = [
+            list(range(0, 18)) + list(range(30, M)),        # mid-section
+            list(range(0, 28)),                             # tail occluded
+            list(range(12, M)),                             # head occluded
+        ]
+        b_args, singles = [], []
+        for k, vis in enumerate(cases):
+            yk = y + 0.002 * k
+            guide = np.zeros((M, 3), np.float32)
+            guide[: len(vis)] = yk[np.array(vis, dtype=int)]
+            idxs = np.zeros(M, np.int32)
+            idxs[: len(vis)] = vis
+            args = (
+                jnp.asarray(yk, jnp.float32),
+                jnp.asarray(coord, jnp.float32),
+                jnp.asarray(guide),
+                jnp.asarray(idxs),
+                jnp.asarray(len(vis), jnp.int32),
+                jnp.asarray(idxs),
+                jnp.asarray(len(vis), jnp.int32),
+            )
+            b_args.append(args)
+            singles.append(
+                correspondence_priors(*args, use_pallas=True, interpret=True)
+            )
+        stacked = tuple(jnp.stack(a) for a in zip(*b_args))
+        batched = jax.vmap(
+            lambda *a: correspondence_priors(
+                *a, use_pallas=True, interpret=True
+            ).prior_pos
+        )(*stacked)
+        for k, single in enumerate(singles):
+            mask = np.asarray(single.prior_mask)
+            err = (
+                np.linalg.norm(
+                    np.asarray(batched[k]) - np.asarray(single.prior_pos),
+                    axis=1,
+                )
+                * mask
+            )
+            assert err.max() < 1e-6, (k, err.max())

@@ -10,7 +10,9 @@ E-step — distances → normalize → geodesic re-distance → visibility prior
 normalize → M-step reductions — emitting only the O(M) outputs:
 
     P1 (M,), PX (M, 3), Np, tr(Xᵀ diag(Pt1) X), and per-node nearest-point
-    squared distance.
+    squared distance (populated only when the visibility gate is on in
+    two-phase mode; otherwise the sweep is skipped and it stays at the 1e5
+    sentinel).
 
 P itself never exists in HBM. The column-wise normalizer makes the tiling
 exact (each point's denominator is a within-tile column sum — the reason
@@ -580,6 +582,11 @@ def fused_estep(
     a first min-distance sweep over the tiles (no separate nearest-point
     kernel, no host round of the weights); otherwise ``p_vis`` supplies the
     weights (required for the cross-shard pmin path).
+
+    NOTE: ``shortest_sq`` is only populated when the visibility gate is on
+    in two-phase mode; with the gate off the phase-0 sweep is skipped at
+    runtime and the output stays at the 1e5 sentinel — do not consume it
+    gate-off.
     """
     m = y.shape[0]
     m_pad = _round_up(m, 8)
@@ -1213,7 +1220,6 @@ def _walks_kernel(m_int, eps,
     ov_ref[:] = ov
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
 def pursuit_walks_fused(
     walk_guides,  # (4, M, 3) walk-space guide polylines (prefix-packed)
     walk_seglens,  # (4, M-1) per-node-position lookahead
@@ -1226,12 +1232,68 @@ def pursuit_walks_fused(
     interpret: bool = False,
 ):
     """All four prior walks in one kernel; same outputs as
-    jax.vmap(ops.priors.pursuit_walk). Returns (pos (4, M, 3), valid (4, M))."""
+    jax.vmap(ops.priors.pursuit_walk). Returns (pos (4, M, 3), valid (4, M)).
+
+    Under ``jax.vmap`` (multi-stream batch) the walks of all B streams pack
+    into the row axis of ONE kernel call (4·B sublane rows) — the per-row
+    math is stream-independent, so batching costs rows, not kernel replays
+    (vmap of a pallas_call would serialize the grid instead)."""
+    return _walks_cv(float(eps), bool(interpret))(
+        walk_guides, walk_seglens, start_guides, seg_his, outer_his,
+        start_nodes, counts,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _walks_cv(eps: float, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def f(walk_guides, walk_seglens, start_guides, seg_his, outer_his,
+          start_nodes, counts):
+        return _walks_impl(
+            walk_guides, walk_seglens, start_guides, seg_his, outer_his,
+            start_nodes, counts, eps=eps, interpret=interpret,
+        )
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = tuple(
+            a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+            for a, b in zip(args, in_batched)
+        )
+        wg, ws, sg, sh, oh, sn, cn = args
+        n_walks = wg.shape[1]
+        m = wg.shape[2]
+        flat = lambda a: a.reshape((axis_size * n_walks,) + a.shape[2:])
+        pos, valid = _walks_impl(
+            flat(wg), flat(ws), flat(sg), flat(sh), flat(oh), flat(sn),
+            flat(cn), eps=eps, interpret=interpret,
+        )
+        return (
+            pos.reshape(axis_size, n_walks, m, 3),
+            valid.reshape(axis_size, n_walks, m),
+        ), (True, True)
+
+    return f
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _walks_impl(
+    walk_guides,  # (W, M, 3) — W walks: 4, or 4·B for a packed batch
+    walk_seglens,  # (W, M-1)
+    start_guides,  # (W,)
+    seg_his,
+    outer_his,
+    start_nodes,
+    counts,
+    eps: float = 1e-4,
+    interpret: bool = False,
+):
     n_walks, m, _ = walk_guides.shape
+    rows = _round_up(n_walks, 8)
     width = _round_up(max(m, 2), 128)
 
     def pack(a, cols=None):
-        out = jnp.zeros((8, width), jnp.float32)
+        out = jnp.zeros((rows, width), jnp.float32)
         if a.ndim == 1:
             return out.at[:n_walks, : a.shape[0]].set(a)
         return out.at[:n_walks, : a.shape[1]].set(a)
@@ -1245,10 +1307,10 @@ def pursuit_walks_fused(
     seglen = pack(walk_seglens)
 
     idx = jnp.arange(n_walks)
-    anchors = walk_guides[idx, start_guides]  # (4, 3)
-    anchor = jnp.zeros((8, width), jnp.float32).at[:n_walks, :3].set(anchors)
+    anchors = walk_guides[idx, start_guides]  # (n_walks, 3)
+    anchor = jnp.zeros((rows, width), jnp.float32).at[:n_walks, :3].set(anchors)
 
-    scal = jnp.zeros((8, width), jnp.float32)
+    scal = jnp.zeros((rows, width), jnp.float32)
     scal = scal.at[:n_walks, 0].set(start_guides.astype(jnp.float32))
     scal = scal.at[:n_walks, 1].set(seg_his.astype(jnp.float32))
     scal = scal.at[:n_walks, 2].set(outer_his.astype(jnp.float32))
@@ -1261,7 +1323,7 @@ def pursuit_walks_fused(
         kern,
         in_specs=[full] * 9,
         out_specs=[full] * 4,
-        out_shape=[jax.ShapeDtypeStruct((8, width), jnp.float32)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((rows, width), jnp.float32)] * 4,
         interpret=interpret,
     )(ax, ay, az, bxp, byp, bzp, seglen, anchor, scal)
 
