@@ -101,8 +101,6 @@ def _make_kernel(
         abs_row = r_ids + i * ROW_BLOCK
         rowbin = (abs_row // cell_px == c_ids).astype(jnp.float32)
 
-        colbin = colbin_ref[:]
-
         # Mosaic's f32 dot_general rounds operands through bf16 MXU passes —
         # measured 0.4 mm mean / 2.9 mm max centroid error on v5e with plain
         # f32 dots here (perf/parity_kernel_bench.py; interpret mode was
@@ -112,6 +110,14 @@ def _make_kernel(
         # bf16 passes with f32 accumulation reproduce exact-f32 binning —
         # and run ~6x faster than the f32 dots they replace (24 us vs 156 us
         # for the whole non-parity kernel).
+        #
+        # Moment formulation: x3 = (us-cx)·z/fx and y3 = (vs-cy)·z/fy are
+        # affine in the moments Σz, Σus·z, Σvs·z, so only TWO data
+        # quantities go through the (10x bigger) column matmul — z and us·z
+        # (3 pieces each) plus the count (1 piece): 7 column passes per
+        # channel instead of 10. The vs moment needs no column pass at all:
+        # it rides the row matmul with within-block row weights (< 64,
+        # bf16-exact) plus i·ROW_BLOCK times the plain row sum.
         dims = (((1,), (0,)), ((), ()))
 
         def _split3(a):
@@ -121,24 +127,38 @@ def _make_kernel(
             lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
             return hi, mid, lo
 
-        def _exact_dot(a, b01, exact, rhs=False):
-            # One operand is data (split when ``exact``), the other a 0/1
-            # binning matrix (bf16-exact). ``rhs``: data is the right operand.
-            bb = b01.astype(jnp.bfloat16)
-            pieces = _split3(a) if exact else (a.astype(jnp.bfloat16),)
+        def _passes(pieces, mat_bf, left):
             out = None
             for piece in pieces:
-                lhs, rhs_op = (bb, piece) if rhs else (piece, bb)
+                lhs, rhs_op = (mat_bf, piece) if left else (piece, mat_bf)
                 term = jax.lax.dot_general(
                     lhs, rhs_op, dims, preferred_element_type=jnp.float32
                 )
                 out = term if out is None else out + term
             return out
 
-        def bin2d(q, weight, exact=True):
-            # Counts (q*weight in {0,1}) are bf16-exact in one pass.
-            tmp = _exact_dot(q * weight, colbin, exact)  # (rows, ncols_pad)
-            return _exact_dot(tmp, rowbin, exact, rhs=True)
+        colbin_bf = colbin_ref[:].astype(jnp.bfloat16)
+        rowbin_bf = rowbin.astype(jnp.bfloat16)
+        # Row-binning weighted by the WITHIN-BLOCK row index (integer < 64:
+        # bf16-exact); the absolute-row offset is added via the plain sum.
+        rowv_bf = (rowbin * r_ids.astype(jnp.float32)).astype(jnp.bfloat16)
+        uz = us * z  # one f32 rounding (≤1 ulp ≈ 0.1 µm at 0.65 m)
+
+        def channel_sums(ch):
+            """(Σx3, Σy3, Σz, count) per cell for pixel weights ``ch``."""
+            a_col = _passes(_split3(z * ch), colbin_bf, left=False)
+            b_col = _passes(_split3(uz * ch), colbin_bf, left=False)
+            c_col = _passes((ch.astype(jnp.bfloat16),), colbin_bf, left=False)
+            s_z = _passes(_split3(a_col), rowbin_bf, left=True)
+            s_vz = (
+                _passes(_split3(a_col), rowv_bf, left=True)
+                + (i * ROW_BLOCK) * s_z
+            )
+            s_uz = _passes(_split3(b_col), rowbin_bf, left=True)
+            cnt = _passes((c_col.astype(jnp.bfloat16),), rowbin_bf, left=True)
+            sx = (s_uz - cx * s_z) * (1.0 / fx)
+            sy = (s_vz - cy * s_z) * (1.0 / fy)
+            return sx, sy, s_z, cnt
 
         @pl.when(i == 0)
         def _init():
@@ -157,10 +177,11 @@ def _make_kernel(
 
             @pl.when(block_live)
             def _bin_plain():
-                sx_ref[:] += bin2d(x3, maskf)
-                sy_ref[:] += bin2d(y3, maskf)
-                sz_ref[:] += bin2d(z, maskf)
-                cnt_ref[:] += bin2d(jnp.ones_like(z), maskf, exact=False)
+                sx, sy, sz, cnt = channel_sums(maskf)
+                sx_ref[:] += sx
+                sy_ref[:] += sy
+                sz_ref[:] += sz
+                cnt_ref[:] += cnt
 
         else:
 
@@ -173,7 +194,6 @@ def _make_kernel(
                 par_x = jnp.floor(x3 * inv_leaf).astype(jnp.int32) & 1
                 par_y = jnp.floor(y3 * inv_leaf).astype(jnp.int32) & 1
                 par_z = jnp.floor(z * inv_leaf).astype(jnp.int32) & 1
-                ones = jnp.ones_like(z)
                 for ci in range(8):
                     bx, by, bz = (ci >> 2) & 1, (ci >> 1) & 1, ci & 1
                     ch = (
@@ -182,10 +202,18 @@ def _make_kernel(
                         * (par_y == by).astype(jnp.float32)
                         * (par_z == bz).astype(jnp.float32)
                     )
-                    sx_ref[ci] = sx_ref[ci] + bin2d(x3, ch)
-                    sy_ref[ci] = sy_ref[ci] + bin2d(y3, ch)
-                    sz_ref[ci] = sz_ref[ci] + bin2d(z, ch)
-                    cnt_ref[ci] = cnt_ref[ci] + bin2d(ones, ch, exact=False)
+
+                    # Runtime channel skip: a live block's rope pixels span
+                    # only the parity channels its local voxel neighbourhood
+                    # touches (z parity especially is near-constant within
+                    # 64 rows) — empty channels contribute exactly zero.
+                    @pl.when(jnp.max(ch) > 0)
+                    def _acc(ci=ci, ch=ch):
+                        sx, sy, sz, cnt = channel_sums(ch)
+                        sx_ref[ci] = sx_ref[ci] + sx
+                        sy_ref[ci] = sy_ref[ci] + sy
+                        sz_ref[ci] = sz_ref[ci] + sz
+                        cnt_ref[ci] = cnt_ref[ci] + cnt
 
     return kernel
 
