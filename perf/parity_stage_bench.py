@@ -178,6 +178,25 @@ def main():
             lambda cap=cap: compact_body(cells8, counts8, cap, 8)
         )
 
+    from trackdlo_tpu.ops.preprocess import compact_cells_segsum
+
+    def segsum_body(cellsx, countsx, cap, n_ch):
+        def body(c):
+            p = compact_cells_segsum(
+                cellsx, countsx + c * 0, params.max_points, leaf,
+                candidate_cap=cap, n_channels=n_ch,
+            )
+            return jnp.sum(p.points) * 1e-12 + c * 0.5
+        return body
+
+    results["segsum+snap_1ch_4096"] = med3(
+        lambda: segsum_body(cells1, counts1, 4096, 1)
+    )
+    for cap in (4096, 2048, 1024):
+        results[f"segsum+snap_8ch_{cap}"] = med3(
+            lambda cap=cap: segsum_body(cells8, counts8, cap, 8)
+        )
+
     def snap_body(ncand):
         pts = jnp.asarray(np.random.default_rng(0).uniform(-0.3, 0.3, (ncand, 3)),
                           jnp.float32)

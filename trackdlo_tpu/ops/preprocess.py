@@ -228,6 +228,47 @@ def preprocess_frame(
     )
 
 
+def compact_cells_segsum(
+    cells: jnp.ndarray,
+    counts: jnp.ndarray,
+    max_points: int,
+    voxel_leaf: float | None,
+    candidate_cap: int = 4096,
+    n_channels: int = 1,
+) -> PointCloud:
+    """compact_cells via cumsum-rank + one segment-sum instead of a sort.
+
+    Each valid cell's destination slot is its prefix rank within its channel
+    (ranks are unique, so the segment-sum is a pure permutation-compaction);
+    overflow and invalid cells land in a dump segment. Replaces the
+    5-operand (n_channels, n_cells) sort with one cumsum plus one
+    segment-sum — A/B'd against the sort path on v5e in
+    perf/parity_stage_bench.py."""
+    n_cells = cells.shape[0]
+    cap = candidate_cap if voxel_leaf is not None else max_points
+    n_per = n_cells // n_channels
+    cap_per = cap // n_channels
+    cap = cap_per * n_channels
+    validr = (counts > 0).reshape(n_channels, n_per)
+    rank = jnp.cumsum(validr.astype(jnp.int32), axis=1) - 1
+    ch_ids = jnp.arange(n_channels, dtype=jnp.int32)[:, None]
+    seg = jnp.where(
+        validr & (rank < cap_per), ch_ids * cap_per + rank, cap
+    ).reshape(-1)
+    vals = jnp.concatenate([cells, counts[:, None]], axis=1)
+    out = jax.ops.segment_sum(vals, seg, num_segments=cap + 1)[:cap]
+    points, cnt_s = out[:, :3], out[:, 3]
+    valid = cnt_s > 0
+
+    if voxel_leaf is not None:
+        snapped, snap_valid = voxel_snap(points, cnt_s, voxel_leaf)
+        points = snapped[:max_points]
+        valid = snap_valid[:max_points]
+        points = jnp.where(valid[:, None], points, 0.0)
+
+    return PointCloud(points=points, mask=valid, count=jnp.sum(valid.astype(jnp.int32)))
+
+
 def compact_cells(
     cells: jnp.ndarray,
     counts: jnp.ndarray,

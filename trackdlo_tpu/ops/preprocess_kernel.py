@@ -2,11 +2,12 @@
 
 Replaces the XLA chain HSV-convert → inRange → occlusion AND → deproject →
 cell-pool (ops/preprocess.py) for the on-device path: one kernel streams the
-720p frame through VMEM in row blocks; each block computes the segmentation
+720p frame through VMEM in 64x256 tiles; each tile computes the segmentation
 mask and the deprojected coordinates in-register and bins them into image
 cells with two matmuls per quantity on the MXU (a column-binning constant
 matrix and a per-block row-binning matrix built from iota) — no reshapes, no
-scatters.
+scatters. Tiles with no rope pixel (most of the frame for a thin DLO) skip
+the binning entirely at runtime.
 
 Downstream (centroid division, compaction, voxel snap) stays in XLA; see
 ops/preprocess.py.
@@ -23,6 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROW_BLOCK = 64
+COL_BLOCK = 256
 
 
 def _round_up(v: int, m: int) -> int:
@@ -74,6 +76,7 @@ def _make_kernel(
         sx_ref, sy_ref, sz_ref, cnt_ref,
     ):
         i = pl.program_id(0)
+        j = pl.program_id(1)
         rows, width = r_ref.shape
 
         # Mosaic has no direct u8/u16 -> f32 cast; hop through int32.
@@ -86,7 +89,10 @@ def _make_kernel(
         mask = mask & (z > 0)
         maskf = mask.astype(jnp.float32)
 
-        us = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1).astype(jnp.float32)
+        us = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+            + j * COL_BLOCK
+        ).astype(jnp.float32)
         vs = (
             jax.lax.broadcasted_iota(jnp.int32, (rows, width), 0)
             + i * ROW_BLOCK
@@ -160,17 +166,17 @@ def _make_kernel(
             sy = (s_vz - cy * s_z) * (1.0 / fy)
             return sx, sy, s_z, cnt
 
-        @pl.when(i == 0)
+        @pl.when((i == 0) & (j == 0))
         def _init():
             sx_ref[:] = jnp.zeros_like(sx_ref)
             sy_ref[:] = jnp.zeros_like(sy_ref)
             sz_ref[:] = jnp.zeros_like(sz_ref)
             cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
-        # Runtime row-block skip: a 64-row block with no masked pixel
-        # contributes exactly zero to every cell sum, and on rope frames
-        # most blocks are empty — the binning matmuls (the bulk of the
-        # kernel, especially 8-channel parity mode) are predicated out.
+        # Runtime tile skip: a 64x256 tile with no masked pixel contributes
+        # exactly zero to every cell sum, and a thin rope leaves most of the
+        # 2-D tile grid empty — the binning matmuls (the bulk of the kernel,
+        # especially 8-channel parity mode) are predicated out per tile.
         block_live = jnp.max(maskf) > 0
 
         if not parity_split:
@@ -246,6 +252,7 @@ def cell_sums_pallas(
     ``parity_split``; see ops/preprocess.preprocess_frame)."""
     h, w = depth.shape
     h_pad = _round_up(h, ROW_BLOCK)
+    w_pad = _round_up(w, COL_BLOCK)
     n_cell_rows = -(-h // cell_px)
     n_cell_cols = -(-w // cell_px)
     n_cell_rows_pad = _round_up(n_cell_rows, 8)
@@ -254,17 +261,18 @@ def cell_sums_pallas(
     if parity_split:
         assert voxel_leaf is not None and voxel_leaf > 0
 
-    r = jnp.zeros((h_pad, w), jnp.uint8).at[:h].set(rgb[..., 0])
-    g = jnp.zeros((h_pad, w), jnp.uint8).at[:h].set(rgb[..., 1])
-    b = jnp.zeros((h_pad, w), jnp.uint8).at[:h].set(rgb[..., 2])
-    d = jnp.zeros((h_pad, w), jnp.uint16).at[:h].set(depth)
-    occ = jnp.zeros((h_pad, w), jnp.uint8).at[:h].set(
+    r = jnp.zeros((h_pad, w_pad), jnp.uint8).at[:h, :w].set(rgb[..., 0])
+    g = jnp.zeros((h_pad, w_pad), jnp.uint8).at[:h, :w].set(rgb[..., 1])
+    b = jnp.zeros((h_pad, w_pad), jnp.uint8).at[:h, :w].set(rgb[..., 2])
+    d = jnp.zeros((h_pad, w_pad), jnp.uint16).at[:h, :w].set(depth)
+    occ = jnp.zeros((h_pad, w_pad), jnp.uint8).at[:h, :w].set(
         occlusion_mask.astype(jnp.uint8)
     )
 
-    # Column-binning constant: colbin[j, j // cell] = 1.
+    # Column-binning constant: colbin[j, j // cell] = 1 (zero rows for the
+    # width padding — padded pixels are mask-excluded anyway via depth=0).
     cols = np.arange(w)
-    colbin_np = np.zeros((w, n_cell_cols_pad), np.float32)
+    colbin_np = np.zeros((w_pad, n_cell_cols_pad), np.float32)
     colbin_np[cols, cols // cell_px] = 1.0
     colbin = jnp.asarray(colbin_np)
 
@@ -274,20 +282,26 @@ def cell_sums_pallas(
         parity_split=parity_split,
         inv_leaf=(1.0 / voxel_leaf) if parity_split else 0.0,
     )
-    grid = (h_pad // ROW_BLOCK,)
-    block = lambda: pl.BlockSpec((ROW_BLOCK, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    grid = (h_pad // ROW_BLOCK, w_pad // COL_BLOCK)
+    block = lambda: pl.BlockSpec(
+        (ROW_BLOCK, COL_BLOCK), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
     if parity_split:
         out_block = (n_ch, n_cell_rows_pad, n_cell_cols_pad)
-        out_index = lambda i: (0, 0, 0)
+        out_index = lambda i, j: (0, 0, 0)
     else:
         out_block = (n_cell_rows_pad, n_cell_cols_pad)
-        out_index = lambda i: (0, 0)
+        out_index = lambda i, j: (0, 0)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             block(), block(), block(), block(), block(),
-            pl.BlockSpec((w, n_cell_cols_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (COL_BLOCK, n_cell_cols_pad),
+                lambda i, j: (j, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=[
             pl.BlockSpec(out_block, out_index, memory_space=pltpu.VMEM)
