@@ -80,7 +80,7 @@ def _measure(batch, k_short=8, k_long=40):
     return batch / per_step, per_step * 1000.0
 
 
-def _measure_scan(n_frames=64, k_short=16, k_long=64, parity_split=False):
+def _measure_scan(n_frames=64, k_short=16, k_long=64, parity_split=None):
     """Pure on-device throughput: frames pre-staged on device (the
     double-buffered-feed production shape), the step chained over them
     inside ONE jitted lax.scan — no per-step host dispatch at all.
@@ -102,12 +102,13 @@ def _measure_scan(n_frames=64, k_short=16, k_long=64, parity_split=False):
     from trackdlo_tpu.ops.preprocess import default_cell_px
 
     params = live_params()
-    if parity_split:
-        # The <=1 mm closed-loop parity configuration (exact PCL VoxelGrid
-        # clouds via voxel-parity-split preprocessing) at full tracking rate.
+    if parity_split is not None:
+        # None = the live default (parity_split on since round 3: the one
+        # default profile is the <=1 mm exact-PCL-VoxelGrid pipeline);
+        # False = the coarse cell-pooling variant, kept as a detail row.
         import dataclasses
 
-        params = dataclasses.replace(params, parity_split=True)
+        params = dataclasses.replace(params, parity_split=parity_split)
     intr = CameraIntrinsics()
     rope = SyntheticRope()
     cell = default_cell_px(params.downsample_leaf_size, intr.fx)
@@ -254,14 +255,16 @@ def _measure_all(batches=(1, 8)):
             results[f"ondevice_scan_b{b}"] = [fps, ms]
         except Exception as e:
             results[f"ondevice_scan_b{b}_error"] = type(e).__name__
-    # The exact-parity configuration (parity_split: <=1 mm closed-loop vs the
-    # f64 oracle) at full rate. b16 was dropped to keep the compile budget
-    # flat — it measured consistently worse than b8 (0.70 vs 0.61 ms/frame).
+    # The coarse cell-pooling variant (parity_split=False; ~2.4 mm
+    # closed-loop vs the default's 0.31 mm) as an informational row — the
+    # headline default IS the exact-parity pipeline since round 3. b16 was
+    # dropped to keep the compile budget flat — it measured consistently
+    # worse than b8 (0.70 vs 0.61 ms/frame).
     try:
-        fps, ms = _measure_scan(parity_split=True)
-        results["ondevice_scan_parity"] = [fps, ms]
+        fps, ms = _measure_scan(parity_split=False)
+        results["ondevice_scan_noparity"] = [fps, ms]
     except Exception as e:
-        results["ondevice_scan_parity_error"] = type(e).__name__
+        results["ondevice_scan_noparity_error"] = type(e).__name__
     for batch in batches:
         try:
             fps, ms = _measure(batch)
@@ -315,13 +318,15 @@ def main():
         fps, step_ms = val
         detail[f"{key}_fps"] = round(fps, 1)
         detail[f"{key}_step_ms"] = round(step_ms, 3)
-        # Headline only from the dispatch-free on-device scan modes: the
-        # host-dispatch-chained modes' short/long slope can under-measure
-        # when a tunnel latency spike lands in the short run (observed
-        # 0.27 ms/step vs a physically consistent 0.64), which would
-        # overstate the result. Their numbers stay in detail as sanity
-        # checks.
-        if key.startswith("ondevice_scan"):
+        # Headline only from the dispatch-free on-device scan modes OF THE
+        # DEFAULT PROFILE: the host-dispatch-chained modes' short/long slope
+        # can under-measure when a tunnel latency spike lands in the short
+        # run (observed 0.27 ms/step vs a physically consistent 0.64), which
+        # would overstate the result, and the coarse noparity variant is not
+        # the shipped profile — both stay in detail as sanity checks.
+        if key.startswith("ondevice_scan") and not key.startswith(
+            "ondevice_scan_noparity"
+        ):
             best_fps = max(best_fps, fps)
     if best_fps == 0.0:
         # All scan modes errored (tunnel outage): fall back to the

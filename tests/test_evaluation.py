@@ -208,11 +208,12 @@ class TestConfigLoader:
         assert params.lam == 50000
         assert params.hsv_lower == (90, 90, 30)
         assert params.num_of_nodes == 40
-        # Matches the shipped eval preset up to TPU-native additions the
-        # reference launch files cannot express (parity_split).
+        # Matches the shipped eval preset exactly: since round 3 the default
+        # profile (parity_split on) IS the reference-exact pipeline, so a
+        # reference launch file loads to the same params as the preset.
         from trackdlo_tpu.config import eval_params
 
-        assert params == eval_params(parity_split=False)
+        assert params == eval_params()
 
     def test_unknown_key_raises(self):
         from trackdlo_tpu.config import params_from_dict

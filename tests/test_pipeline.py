@@ -385,3 +385,54 @@ class TestChannelCompaction:
         fp_sorted = fp[np.lexsort(fp.T)]
         cp_sorted = cp[np.lexsort(cp.T)]
         np.testing.assert_allclose(fp_sorted, cp_sorted, atol=1e-6)
+
+
+class TestOverflowDecimation:
+    def test_voxel_overflow_decimates_evenly(self):
+        """When occupied voxels exceed max_points, the compaction must keep
+        spatial EXTENT and thin density — not chop a contiguous band (the
+        voxel-key sort is x-major, so a prefix keep would drop the high-x
+        half of the scene and blind the tracker there). The reference's
+        VoxelGrid has no cap (trackdlo_node.cpp:236-241); the cap is our
+        static-shape artifact and must degrade gracefully."""
+        import numpy as np
+
+        from trackdlo_tpu.ops.preprocess import compact_cells
+
+        # 600 occupied cells along a 1-D line, one voxel each (leaf 8 mm,
+        # 10 mm spacing) -> 600 occupied voxels, cap at 256.
+        n, keep = 600, 256
+        cells = np.zeros((1024, 3), np.float32)
+        counts = np.zeros(1024, np.float32)
+        cells[:n, 0] = np.arange(n) * 0.010
+        counts[:n] = 1.0
+        out = compact_cells(
+            jnp.asarray(cells), jnp.asarray(counts), keep, 0.008,
+            candidate_cap=1024, n_channels=1,
+        )
+        assert int(out.count) == keep
+        pts = np.asarray(out.points)[np.asarray(out.mask)]
+        # Full extent survives (within one stride of each end) ...
+        stride = n / keep
+        assert pts[:, 0].min() < stride * 0.010
+        assert pts[:, 0].max() > (n - 1 - stride) * 0.010
+        # ... at roughly even density: no gap wider than 3 strides.
+        xs = np.sort(pts[:, 0])
+        assert np.diff(xs).max() < 3 * stride * 0.010
+
+    def test_no_overflow_is_identity(self):
+        """Below max_points the decimation path must keep every voxel."""
+        import numpy as np
+
+        from trackdlo_tpu.ops.preprocess import compact_cells
+
+        n = 100
+        cells = np.zeros((1024, 3), np.float32)
+        counts = np.zeros(1024, np.float32)
+        cells[:n, 0] = np.arange(n) * 0.010
+        counts[:n] = 1.0
+        out = compact_cells(
+            jnp.asarray(cells), jnp.asarray(counts), 256, 0.008,
+            candidate_cap=1024, n_channels=1,
+        )
+        assert int(out.count) == n

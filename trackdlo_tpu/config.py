@@ -102,14 +102,22 @@ class TrackerParams:
     # Split cell pooling into 8 voxel-parity channels so cells straddling
     # voxel boundaries emit separate candidates — recovers PCL VoxelGrid
     # semantics essentially exactly (candidate occupancy == oracle voxel
-    # occupancy; see perf/cell_parity_sweep.py). Costs ~4x the pooling work.
-    parity_split: bool = False
-    # Fixed candidate capacity of the parity-split compaction (512 per
-    # channel). Measured worst-case occupancy across the six scenarios is
-    # 192/channel (perf/parity_stage_bench.py) — 2.7x headroom; the old
-    # 8192 cap made the channelled compact+snap ~8x more expensive for
-    # nothing.
-    parity_candidate_cap: int = 4096
+    # occupancy; see perf/cell_parity_sweep.py). ON by default since round 3:
+    # with the 2-D-tiled preprocess kernel the exact-parity pipeline runs at
+    # full tracking rate (~0.61 ms/frame on v5e, perf/parity_cap_ab.py), so
+    # the one default profile is the accurate profile — matching the
+    # reference, whose only pipeline is its accurate pipeline
+    # (trackdlo_node.cpp:236-241 PCL VoxelGrid). parity_split=False remains
+    # a ~0.05 ms/frame-faster coarse option.
+    parity_split: bool = True
+    # Fixed candidate capacity of the compaction (256 per channel with the
+    # parity split). Measured worst-case occupancy across the six scenarios
+    # is 192/channel and 1442 total (perf/parity_stage_bench.py) — and the
+    # snap sort at 2048 candidates is ~12x cheaper than at 4096. Full-step
+    # A/B across {1024, 2048, 4096}: 2048 is fastest (1024 truncates real
+    # candidates and costs EM trips; 4096 pays sort/snap width,
+    # perf/parity_cap_ab.py).
+    parity_candidate_cap: int = 2048
     # LLE chain neighbourhood size k (trackdlo.cpp:236 hardcodes 6).
     lle_k: int = 6
     # Initial sigma^2 after node initialization (trackdlo_node.cpp:133).
@@ -178,10 +186,9 @@ def live_params(**overrides) -> TrackerParams:
 def eval_params(**overrides) -> TrackerParams:
     """The reference's evaluation profile (launch/trackdlo_eval.launch:27-59).
 
-    parity_split is on: evaluation/parity comparisons want the exact PCL
-    VoxelGrid clouds (0.35 mm closed-loop oracle parity vs 2.4 mm without;
-    perf/parity_decomposition.py) at ~3x the preprocessing cost. The live
-    profile keeps the faster cell pooling."""
+    Like the live profile this uses exact-PCL-VoxelGrid preprocessing
+    (parity_split, the round-3 default): 0.31 mm closed-loop oracle parity
+    vs ~2.4 mm with plain cell pooling (perf/parity_decomposition.py)."""
     base = TrackerParams(
         num_of_nodes=40,
         beta=0.5,
@@ -190,7 +197,6 @@ def eval_params(**overrides) -> TrackerParams:
         dlo_pixel_width=30,
         downsample_leaf_size=0.005,
         multi_color_dlo=True,
-        parity_split=True,
     )
     return dataclasses.replace(base, **overrides)
 

@@ -242,8 +242,12 @@ def compact_cells_segsum(
     (ranks are unique, so the segment-sum is a pure permutation-compaction);
     overflow and invalid cells land in a dump segment. Replaces the
     5-operand (n_channels, n_cells) sort with one cumsum plus one
-    segment-sum — A/B'd against the sort path on v5e in
-    perf/parity_stage_bench.py."""
+    segment-sum.
+
+    Measured SLOWER than the sort path on v5e (0.65 vs 0.14 ms at 8ch/2048,
+    perf/parity_stage_bench.py): XLA lowers the 115k-update scatter-add far
+    worse than the batched bitonic sort. Kept as a reference alternative;
+    the product path stays on compact_cells."""
     n_cells = cells.shape[0]
     cap = candidate_cap if voxel_leaf is not None else max_points
     n_per = n_cells // n_channels
@@ -330,8 +334,35 @@ def compact_cells(
     if voxel_leaf is not None:
         w = jnp.where(valid, cnt_s[:cap], 0.0)
         snapped, snap_valid = voxel_snap(points, w, voxel_leaf)
-        points = snapped[:max_points]
-        valid = snap_valid[:max_points]
+        if cap > max_points:
+            # Occupied voxels can exceed max_points (small-cap configs /
+            # cluttered scenes). snapped is voxel-key sorted (x-major), so a
+            # plain prefix keep would drop a contiguous spatial band of the
+            # scene — observed chopping half the rope and blinding the
+            # tracker. Decimate with an even stride over the packed valid
+            # prefix instead: coverage degrades in density, not in extent.
+            # (The reference's VoxelGrid has no capacity cap at all,
+            # trackdlo_node.cpp:236-241 — the cap is our static-shape
+            # artifact, so overflow must degrade gracefully.) Statically
+            # free whenever cap <= max_points (the shipped default:
+            # candidate_cap 2048 vs max_points 4096).
+            n_vox = jnp.sum(snap_valid.astype(jnp.int32))
+            n_eff = jnp.maximum(n_vox, max_points)
+            i = jnp.arange(cap, dtype=jnp.int32)
+            kept = ((i + 1) * max_points // n_eff > i * max_points // n_eff)
+            kept = kept & snap_valid
+            rank = jnp.where(kept, i, cap)
+            key_k, x_k, y_k, z_k = jax.lax.sort(
+                (rank, snapped[:, 0], snapped[:, 1], snapped[:, 2]),
+                num_keys=1,
+            )
+            valid = key_k[:max_points] < cap
+            points = jnp.stack(
+                [x_k[:max_points], y_k[:max_points], z_k[:max_points]], axis=1
+            )
+        else:
+            points = snapped[:max_points]
+            valid = snap_valid[:max_points]
         points = jnp.where(valid[:, None], points, 0.0)
 
     return PointCloud(points=points, mask=valid, count=jnp.sum(valid.astype(jnp.int32)))
