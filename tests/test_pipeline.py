@@ -436,3 +436,27 @@ class TestOverflowDecimation:
             candidate_cap=1024, n_channels=1,
         )
         assert int(out.count) == n
+
+    def test_cell_overflow_decimates_evenly_no_voxel(self):
+        """Same graceful degradation for the exact_voxels=False path: cell
+        keys are raster-order, so prefix truncation would drop the bottom
+        band of the image."""
+        import numpy as np
+
+        from trackdlo_tpu.ops.preprocess import compact_cells
+
+        n, keep = 600, 256
+        cells = np.zeros((1024, 3), np.float32)
+        counts = np.zeros(1024, np.float32)
+        cells[:n, 1] = np.arange(n) * 0.010  # y grows with raster index
+        counts[:n] = 1.0
+        out = compact_cells(
+            jnp.asarray(cells), jnp.asarray(counts), keep, None,
+            candidate_cap=1024, n_channels=1,
+        )
+        assert int(out.count) == keep
+        pts = np.asarray(out.points)[np.asarray(out.mask)]
+        stride = n / keep
+        assert pts[:, 1].max() > (n - 1 - stride) * 0.010
+        xs = np.sort(pts[:, 1])
+        assert np.diff(xs).max() < 3 * stride * 0.010

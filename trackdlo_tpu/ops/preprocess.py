@@ -327,6 +327,23 @@ def compact_cells(
         key_s, x_s, y_s, z_s, cnt_s = jax.lax.sort(
             (keys, cells[:, 0], cells[:, 1], cells[:, 2], counts), num_keys=1
         )
+        if voxel_leaf is None and n_cells > cap:
+            # Occupied cells can exceed the capacity (exact_voxels=False
+            # configs with small max_points). The keys are raster-order cell
+            # indices, so a plain prefix keep would drop the BOTTOM band of
+            # the image — decimate the packed valid prefix with an even
+            # stride instead so spatial extent survives at thinner density
+            # (same rationale as the voxel-overflow branch below).
+            # int32 is safe: n_cells * cap stays far below 2^31 for any
+            # realistic cell grid (720p/8px = 14400 cells x 4096 cap = 59M).
+            n_occ = jnp.sum(cell_valid.astype(jnp.int32))
+            n_eff = jnp.maximum(n_occ, cap)
+            i = jnp.arange(n_cells, dtype=jnp.int32)
+            kept = ((i + 1) * cap // n_eff > i * cap // n_eff) & (key_s < n_cells)
+            rank = jnp.where(kept, i, n_cells)
+            key_s, x_s, y_s, z_s, cnt_s = jax.lax.sort(
+                (rank, x_s, y_s, z_s, cnt_s), num_keys=1
+            )
         valid = key_s[:cap] < n_cells
         points = jnp.stack([x_s[:cap], y_s[:cap], z_s[:cap]], axis=1)
         points = jnp.where(valid[:, None], points, 0.0)
