@@ -460,3 +460,37 @@ class TestOverflowDecimation:
         assert pts[:, 1].max() > (n - 1 - stride) * 0.010
         xs = np.sort(pts[:, 1])
         assert np.diff(xs).max() < 3 * stride * 0.010
+
+    def test_production_shaped_compaction_matches_flat(self):
+        """Same set-equality at the production shape (n_per 4096, cap 2048):
+        pins channel compaction against the flat sort at full scale. (A
+        two-level segment compaction was tried here in round 3 and measured
+        perf-neutral on v5e — sort width is not the compaction bottleneck —
+        so the one-level batched sort stays.)"""
+        import numpy as np
+
+        from trackdlo_tpu.ops.preprocess import compact_cells
+
+        rng = np.random.default_rng(11)
+        n_per, ch = 4096, 8
+        n = n_per * ch
+        counts = np.zeros(n, np.float32)
+        occupied = rng.choice(n, size=1400, replace=False)
+        counts[occupied] = rng.integers(1, 30, size=1400)
+        cells = np.zeros((n, 3), np.float32)
+        cells[occupied] = rng.uniform(-0.3, 0.3, size=(1400, 3)).astype(np.float32)
+
+        flat = compact_cells(
+            jnp.asarray(cells), jnp.asarray(counts), 2048, 0.008,
+            candidate_cap=2048, n_channels=1,
+        )
+        chan = compact_cells(
+            jnp.asarray(cells), jnp.asarray(counts), 2048, 0.008,
+            candidate_cap=2048, n_channels=ch,
+        )
+        assert int(flat.count) == int(chan.count)
+        fp = np.asarray(flat.points)[np.asarray(flat.mask)]
+        cp = np.asarray(chan.points)[np.asarray(chan.mask)]
+        fp_sorted = fp[np.lexsort(fp.T)]
+        cp_sorted = cp[np.lexsort(cp.T)]
+        np.testing.assert_allclose(fp_sorted, cp_sorted, atol=1e-6)
