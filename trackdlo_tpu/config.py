@@ -104,11 +104,12 @@ class TrackerParams:
     # semantics essentially exactly (candidate occupancy == oracle voxel
     # occupancy; see perf/cell_parity_sweep.py). ON by default since round 3:
     # with the 2-D-tiled preprocess kernel the exact-parity pipeline runs at
-    # full tracking rate (~0.61 ms/frame on v5e, perf/parity_cap_ab.py), so
-    # the one default profile is the accurate profile — matching the
-    # reference, whose only pipeline is its accurate pipeline
-    # (trackdlo_node.cpp:236-241 PCL VoxelGrid). parity_split=False remains
-    # a ~0.05 ms/frame-faster coarse option.
+    # full tracking rate (recorded bench 2026-08-17: 0.711 ms/frame b1,
+    # 0.599 ms/frame in the 8-stream batch), so the one default profile is
+    # the accurate profile — matching the reference, whose only pipeline is
+    # its accurate pipeline (trackdlo_node.cpp:236-241 PCL VoxelGrid).
+    # parity_split=False remains a ~0.18 ms/frame-faster coarse option
+    # (~2.4 mm closed-loop vs <=1 mm).
     parity_split: bool = True
     # Fixed candidate capacity of the compaction (256 per channel with the
     # parity split). Measured worst-case occupancy across the six scenarios
@@ -187,8 +188,9 @@ def eval_params(**overrides) -> TrackerParams:
     """The reference's evaluation profile (launch/trackdlo_eval.launch:27-59).
 
     Like the live profile this uses exact-PCL-VoxelGrid preprocessing
-    (parity_split, the round-3 default): 0.31 mm closed-loop oracle parity
-    vs ~2.4 mm with plain cell pooling (perf/parity_decomposition.py)."""
+    (parity_split, the round-3 default): 0.3-0.7 mm closed-loop oracle
+    parity (chaotic per-build band) vs ~2.4 mm with plain cell pooling
+    (perf/parity_decomposition.py)."""
     base = TrackerParams(
         num_of_nodes=40,
         beta=0.5,
