@@ -4,6 +4,11 @@ sweep, writing reference-format error files.
 Run:  python examples/evaluate_scenarios.py [save_dir]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

@@ -3,6 +3,11 @@
 Run:  python examples/track_synthetic.py [out_dir]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np
