@@ -136,7 +136,7 @@ def main():
             rgbj, depthj, occ, intr.fx, intr.fy, intr.cx, intr.cy,
             params.hsv_lower, params.hsv_upper, False, cell, params.max_points,
             voxel_leaf=leaf, parity_split=parity,
-            candidate_cap=params.parity_candidate_cap if parity else 4096,
+            candidate_cap=params.candidate_cap() if parity else 4096,
         )
         cl, ct = cell_sums_pallas(
             rgbj, depthj, occ, intr.fx, intr.fy, intr.cx, intr.cy,
@@ -146,7 +146,7 @@ def main():
         )
         pc_got = compact_cells(
             cl, ct, params.max_points, leaf,
-            candidate_cap=params.parity_candidate_cap if parity else 4096,
+            candidate_cap=params.candidate_cap() if parity else 4096,
             n_channels=8 if parity else 1,
         )
         rp = np.asarray(pc_ref.points)[np.asarray(pc_ref.mask)]

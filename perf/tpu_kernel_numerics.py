@@ -111,7 +111,7 @@ def audit():
         rgbj, depthj, occ, intr.fx, intr.fy, intr.cx, intr.cy,
         params.hsv_lower, params.hsv_upper, False, cell, params.max_points,
         voxel_leaf=params.downsample_leaf_size,
-        candidate_cap=params.parity_candidate_cap, parity_split=True,
+        candidate_cap=params.candidate_cap(), parity_split=True,
     )
     cl_p, ct_p = cell_sums_pallas(
         rgbj, depthj, occ, intr.fx, intr.fy, intr.cx, intr.cy,
@@ -120,7 +120,7 @@ def audit():
     )
     pc_got_p = compact_cells(
         cl_p, ct_p, params.max_points, params.downsample_leaf_size,
-        candidate_cap=params.parity_candidate_cap, n_channels=8,
+        candidate_cap=params.candidate_cap(), n_channels=8,
     )
     rp = np.asarray(pc_ref_p.points)[np.asarray(pc_ref_p.mask)]
     gp = np.asarray(pc_got_p.points)[np.asarray(pc_got_p.mask)]

@@ -356,7 +356,10 @@ class TestChannelCompaction:
     def test_channelled_compact_matches_flat(self):
         """compact_cells(n_channels=8) must produce the same post-snap point
         SET as the flat sort: only the (irrelevant) candidate selection order
-        differs when no channel overflows its per-channel cap."""
+        differs when no channel overflows its per-channel cap. Candidates are
+        parity-consistent (channel == voxel parities), the invariant the
+        parity-split pooling guarantees and the channel-local snap relies
+        on."""
         import numpy as np
 
         from trackdlo_tpu.ops.preprocess import compact_cells
@@ -365,10 +368,18 @@ class TestChannelCompaction:
         n_per, ch = 960, 8
         n = n_per * ch
         counts = np.zeros(n, np.float32)
-        occupied = rng.choice(n, size=700, replace=False)
-        counts[occupied] = rng.integers(1, 30, size=700)
         cells = np.zeros((n, 3), np.float32)
-        cells[occupied] = rng.uniform(-0.3, 0.3, size=(700, 3)).astype(np.float32)
+        for c in range(ch):
+            par = np.array([(c >> 2) & 1, (c >> 1) & 1, c & 1])
+            # 60/channel keeps occupied voxels under max_points: with
+            # overflow the even-stride decimation legitimately selects a
+            # different (equally even) subset per candidate ordering, which
+            # is covered by TestOverflowDecimation instead.
+            idx = rng.choice(n_per, size=60, replace=False) + c * n_per
+            vox = rng.integers(-38, 37, size=(60, 3)) * 2 + par
+            frac = rng.uniform(0.1, 0.9, size=(60, 3))
+            cells[idx] = ((vox + frac) * 0.008).astype(np.float32)
+            counts[idx] = rng.integers(1, 30, size=60)
 
         flat = compact_cells(
             jnp.asarray(cells), jnp.asarray(counts), 512, 0.008,
@@ -475,10 +486,15 @@ class TestOverflowDecimation:
         n_per, ch = 4096, 8
         n = n_per * ch
         counts = np.zeros(n, np.float32)
-        occupied = rng.choice(n, size=1400, replace=False)
-        counts[occupied] = rng.integers(1, 30, size=1400)
         cells = np.zeros((n, 3), np.float32)
-        cells[occupied] = rng.uniform(-0.3, 0.3, size=(1400, 3)).astype(np.float32)
+        # Parity-consistent candidates (see test_channelled_compact_matches_flat).
+        for c in range(ch):
+            par = np.array([(c >> 2) & 1, (c >> 1) & 1, c & 1])
+            idx = rng.choice(n_per, size=175, replace=False) + c * n_per
+            vox = rng.integers(-38, 37, size=(175, 3)) * 2 + par
+            frac = rng.uniform(0.1, 0.9, size=(175, 3))
+            cells[idx] = ((vox + frac) * 0.008).astype(np.float32)
+            counts[idx] = rng.integers(1, 30, size=175)
 
         flat = compact_cells(
             jnp.asarray(cells), jnp.asarray(counts), 2048, 0.008,
@@ -494,3 +510,79 @@ class TestOverflowDecimation:
         fp_sorted = fp[np.lexsort(fp.T)]
         cp_sorted = cp[np.lexsort(cp.T)]
         np.testing.assert_allclose(fp_sorted, cp_sorted, atol=1e-6)
+
+    def test_channel_overflow_decimates_evenly(self):
+        """One parity channel holding more valid cells than its cap slots
+        must thin evenly (cumsum-rank stride), not keep a raster-prefix band
+        — finer voxel leaves overflow live-tuned caps (eval 5 mm leaf:
+        749/channel vs the live profile's 190)."""
+        import numpy as np
+
+        from trackdlo_tpu.ops.preprocess import compact_cells
+
+        n_per, ch, cap = 4096, 8, 1024  # cap_per = 128
+        n = n_per * ch
+        cells = np.zeros((n, 3), np.float32)
+        counts = np.zeros(n, np.float32)
+        # 600 occupied cells, ALL in channel 0, spread along x.
+        idx = np.arange(600) * 6
+        cells[idx, 0] = np.arange(600) * 0.010
+        counts[idx] = 1.0
+        out = compact_cells(
+            jnp.asarray(cells), jnp.asarray(counts), 1024, 0.008,
+            candidate_cap=cap, n_channels=ch,
+        )
+        pts = np.asarray(out.points)[np.asarray(out.mask)]
+        assert len(pts) == cap // ch  # exactly the channel's slot count
+        stride = 600 / (cap // ch)
+        assert pts[:, 0].max() > (600 - 1 - stride) * 0.010  # extent kept
+        xs = np.sort(pts[:, 0])
+        assert np.diff(xs).max() < 3 * stride * 0.010  # even density
+
+
+class TestLeafDerivedCap:
+    def test_candidate_cap_scales_with_leaf(self):
+        from trackdlo_tpu.config import eval_params, live_params
+
+        assert live_params().candidate_cap() == 2048
+        # 5 mm leaf measures up to 749 occupied cells/channel across the six
+        # scenarios — the derived 8192 (1024/channel) covers it; a
+        # live-tuned 2048 would truncate 27% of eval voxels (round-3 bug).
+        assert eval_params().candidate_cap() == 8192
+        assert live_params(parity_candidate_cap=4096).candidate_cap() == 4096
+
+    def test_eval_profile_not_truncated(self):
+        """A dense eval-leaf frame must produce the same voxel set through
+        the capacity-bounded product path as through an effectively
+        unbounded cap."""
+        import numpy as np
+
+        from trackdlo_tpu.config import CameraIntrinsics, eval_params
+        from trackdlo_tpu.evaluation.scenarios import generate, make_scenario
+        from trackdlo_tpu.models.trackdlo import preprocess_for_step
+        from trackdlo_tpu.ops.preprocess import default_cell_px
+
+        params = eval_params()
+        intr = CameraIntrinsics()
+        cell = default_cell_px(params.downsample_leaf_size, intr.fx)
+        sc = make_scenario("self_occlusion")
+        frames, _, _ = generate(sc, 12, intr, params.M)
+        rgb, depth = frames[6]  # the densest part of the crossing
+        occ = jnp.ones((intr.height, intr.width), bool)
+        got = preprocess_for_step(
+            jnp.asarray(rgb), jnp.asarray(depth), occ,
+            params=params, intr=intr, cell_px=cell, use_pallas=True,
+        )
+        import dataclasses
+
+        big = preprocess_for_step(
+            jnp.asarray(rgb), jnp.asarray(depth), occ,
+            params=dataclasses.replace(params, parity_candidate_cap=32768),
+            intr=intr, cell_px=cell, use_pallas=True,
+        )
+        assert int(got.count) == int(big.count)
+        gp = np.asarray(got.points)[np.asarray(got.mask)]
+        bp = np.asarray(big.points)[np.asarray(big.mask)]
+        np.testing.assert_allclose(
+            gp[np.lexsort(gp.T)], bp[np.lexsort(bp.T)], atol=1e-6
+        )

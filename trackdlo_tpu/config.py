@@ -111,14 +111,18 @@ class TrackerParams:
     # parity_split=False remains a ~0.18 ms/frame-faster coarse option
     # (~2.4 mm closed-loop vs <=1 mm).
     parity_split: bool = True
-    # Fixed candidate capacity of the compaction (256 per channel with the
-    # parity split). Measured worst-case occupancy across the six scenarios
-    # is 192/channel and 1442 total (perf/parity_stage_bench.py) — and the
-    # snap sort at 2048 candidates is ~12x cheaper than at 4096. Full-step
-    # A/B across {1024, 2048, 4096}: 2048 is fastest (1024 truncates real
-    # candidates and costs EM trips; 4096 pays sort/snap width,
-    # perf/parity_cap_ab.py).
-    parity_candidate_cap: int = 2048
+    # Fixed candidate capacity of the compaction, or None to derive it from
+    # the voxel leaf via candidate_cap(): occupancy scales ~(1/leaf)^2, so a
+    # fixed number tuned on one profile silently truncates finer-leaf
+    # profiles (the 5 mm eval leaf measures up to 749 occupied cells per
+    # parity channel across the six scenarios vs the live 8 mm profile's
+    # 190 — a live-tuned 256/channel cap would chop eval clouds). At the
+    # live leaf the derived cap is 2048 (256 per channel): measured
+    # worst-case occupancy 190/channel and 1438 total across the six
+    # scenarios, and the snap sort at 2048 candidates is much cheaper than
+    # at 4096; full-step A/B across {1024, 2048, 4096} picked 2048
+    # (perf/parity_cap_ab.py).
+    parity_candidate_cap: int | None = None
     # LLE chain neighbourhood size k (trackdlo.cpp:236 hardcodes 6).
     lle_k: int = 6
     # Initial sigma^2 after node initialization (trackdlo_node.cpp:133).
@@ -137,6 +141,20 @@ class TrackerParams:
     @property
     def M(self) -> int:
         return self.num_of_nodes
+
+    def candidate_cap(self) -> int:
+        """Compaction candidate capacity (see parity_candidate_cap).
+
+        Derived from the voxel leaf unless pinned: occupancy scales
+        ~(1/leaf)^2 with 2048 fitting the 8 mm live leaf, rounded up to a
+        power of two so the per-channel slot count stays a power of two
+        (8 mm → 2048, 5 mm → 8192)."""
+        if self.parity_candidate_cap is not None:
+            return self.parity_candidate_cap
+        import math
+
+        scale = max((0.008 / self.downsample_leaf_size) ** 2, 1.0)
+        return 1 << math.ceil(math.log2(2048 * scale))
 
 
 def params_from_dict(data: dict) -> TrackerParams:

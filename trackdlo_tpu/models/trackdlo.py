@@ -95,11 +95,10 @@ def preprocess_for_step(
     On TPU the mask→deproject→cell-pool front end is one Pallas kernel
     (ops/preprocess_kernel.py)."""
     voxel_leaf = params.downsample_leaf_size if params.exact_voxels else None
-    # One cap for both modes: occupied cells across the six scenarios peak
-    # at 1442 total (parity per-channel max 192 of 256 slots), and the snap
-    # sort at 2048 candidates is ~12x cheaper than at 4096
-    # (perf/parity_stage_bench.py snap_only_*).
-    candidate_cap = params.parity_candidate_cap
+    # One cap for both modes, leaf-derived (occupancy ~(1/leaf)^2 — a cap
+    # tuned on the live 8 mm leaf truncates 5 mm eval clouds; see
+    # TrackerParams.candidate_cap).
+    candidate_cap = params.candidate_cap()
     if use_pallas:
         from trackdlo_tpu.ops.preprocess import compact_cells
         from trackdlo_tpu.ops.preprocess_kernel import cell_sums_pallas

@@ -135,6 +135,73 @@ def voxel_snap(
     return jnp.where(out_valid[:, None], centroids, 0.0), out_valid
 
 
+def _voxel_snap_channels(
+    points: jnp.ndarray,
+    weights: jnp.ndarray,
+    leaf: float,
+    parities: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-channel batched voxel snap: (C, P, 3) candidates → (C*P, 3).
+
+    With the voxel-parity split, two candidates in DIFFERENT channels can
+    never share a voxel (same voxel ⇒ same floor(coord/leaf) parities ⇒ same
+    channel), so the duplicate-merging sort is channel-local and can ride the
+    TPU sort's batch dimension (sublanes) exactly like the compaction sort —
+    a batched (C, P) sort costs about one channel's worth, vs the flat
+    (C*P,) sort it replaces (~2.5x cheaper at 8x256, perf/parity_stage_bench
+    snap rows).
+
+    ``parities`` ((C, 3) int 0/1, the per-channel voxel parities): enforces
+    the channel-locality invariant at knife edges. A candidate whose pixels
+    sit exactly on a voxel boundary (mm-quantized depth on an 8 mm leaf) can
+    have floor(centroid/leaf) land one voxel off its pixels' parity channel —
+    the centroid drifts a f32 ulp across the boundary — which would create a
+    cross-channel duplicate this snap cannot merge. Pinning the voxel index
+    to the channel's parity (the pixels' own floor vote, nearest boundary)
+    restores the invariant, and is closer to per-point PCL VoxelGrid
+    semantics than merging by the drifted centroid key was."""
+    c_ch, p = points.shape[:2]
+    inv = 1.0 / leaf
+    f = points * inv
+    ijk = jnp.floor(f).astype(jnp.int32)
+    if parities is not None:
+        mismatch = (ijk & 1) != parities[:, None, :]
+        adj = jnp.where(f - ijk.astype(jnp.float32) >= 0.5, 1, -1)
+        ijk = jnp.where(mismatch, ijk + adj, ijk)
+    valid = weights > 0
+    # Re-base each channel to its occupied extent so keys fit 30 bits
+    # (see voxel_snap).
+    ijk_min = jnp.min(
+        jnp.where(valid[..., None], ijk, jnp.iinfo(jnp.int32).max), axis=1,
+        keepdims=True,
+    )
+    rel = jnp.clip(ijk - ijk_min, 0, (1 << 10) - 1)
+    key = rel[..., 0] * (1 << 20) + rel[..., 1] * (1 << 10) + rel[..., 2]
+    key = jnp.where(valid, key, jnp.iinfo(jnp.int32).max)
+    w_eff = jnp.where(valid, weights, 0.0)
+    key_s, w_s, wx_s, wy_s, wz_s = jax.lax.sort(
+        (key, w_eff, points[..., 0] * w_eff, points[..., 1] * w_eff,
+         points[..., 2] * w_eff),
+        num_keys=1,
+    )
+    new_seg = jnp.concatenate(
+        [jnp.ones((c_ch, 1), bool), key_s[:, 1:] != key_s[:, :-1]], axis=1
+    )
+    seg_id = (
+        jnp.cumsum(new_seg.astype(jnp.int32), axis=1) - 1
+        + jnp.arange(c_ch, dtype=jnp.int32)[:, None] * p
+    ).reshape(-1)
+    wsum = jax.ops.segment_sum(w_s.reshape(-1), seg_id, num_segments=c_ch * p)
+    psum = jax.ops.segment_sum(
+        jnp.stack([wx_s, wy_s, wz_s], axis=-1).reshape(-1, 3),
+        seg_id,
+        num_segments=c_ch * p,
+    )
+    centroids = psum / jnp.maximum(wsum, 1.0)[:, None]
+    out_valid = wsum > 0
+    return jnp.where(out_valid[:, None], centroids, 0.0), out_valid
+
+
 def preprocess_frame(
     rgb: jnp.ndarray,
     depth: jnp.ndarray,
@@ -306,19 +373,66 @@ def compact_cells(
         n_per = n_cells // n_channels
         cap_per = cap // n_channels
         resh = lambda a: a.reshape(n_channels, n_per)
+        vch = resh(cell_valid)
+        if n_per > cap_per:
+            # A channel can hold more valid cells than its cap slots (finer
+            # voxel leaves roughly double candidates per halving of the
+            # leaf: the eval 5 mm profile measured 749/channel worst-case
+            # where the live 8 mm profile peaks at 190 — size the cap per
+            # profile, this is the backstop). Prefix truncation would keep
+            # a raster band of the image; instead pre-rank valid cells with
+            # a cumsum and keep an even stride of them, so overflow thins
+            # density and preserves extent. One cumsum + elementwise —
+            # no extra sort — and below the cap it is exactly the identity.
+            vi = vch.astype(jnp.int32)
+            n_occ = jnp.sum(vi, axis=1, keepdims=True)
+            n_eff = jnp.maximum(n_occ, cap_per)
+            rank = jnp.cumsum(vi, axis=1) - vi  # exclusive rank among valid
+            kept = vch & (
+                (rank + 1) * cap_per // n_eff > rank * cap_per // n_eff
+            )
+        else:
+            kept = vch
         keys = jnp.where(
-            resh(cell_valid), jnp.arange(n_per, dtype=jnp.int32)[None, :], n_per
+            kept, jnp.arange(n_per, dtype=jnp.int32)[None, :], n_per
         )
         key_s, x_s, y_s, z_s, cnt_s = jax.lax.sort(
             (keys, resh(cells[:, 0]), resh(cells[:, 1]), resh(cells[:, 2]),
              resh(counts)),
             num_keys=1,
         )
-        valid = (key_s[:, :cap_per] < n_per).reshape(-1)
+        valid_ch = key_s[:, :cap_per] < n_per
+        valid = valid_ch.reshape(-1)
+        cap = cap_per * n_channels
+        if voxel_leaf is not None:
+            # Channel-batched snap: voxel duplicates are channel-local under
+            # the parity split, so the merge sort rides the batch dimension.
+            pts_ch = jnp.stack(
+                [a[:, :cap_per] for a in (x_s, y_s, z_s)], axis=-1
+            )
+            w_ch = jnp.where(valid_ch, cnt_s[:, :cap_per], 0.0)
+            # Channel-major parity convention shared by preprocess_frame's
+            # pooling loop and the Pallas kernel: index = bx·4 + by·2 + bz.
+            parities = (
+                jnp.asarray(
+                    [[(c >> 2) & 1, (c >> 1) & 1, c & 1]
+                     for c in range(n_channels)],
+                    jnp.int32,
+                )
+                if n_channels == 8
+                else None
+            )
+            snapped, snap_valid = _voxel_snap_channels(
+                pts_ch, w_ch, voxel_leaf, parities
+            )
+            points, valid = _cap_snapped(snapped, snap_valid, cap, max_points)
+            return PointCloud(
+                points=points, mask=valid,
+                count=jnp.sum(valid.astype(jnp.int32)),
+            )
         x_s, y_s, z_s, cnt_s = (
             a[:, :cap_per].reshape(-1) for a in (x_s, y_s, z_s, cnt_s)
         )
-        cap = cap_per * n_channels
         points = jnp.stack([x_s, y_s, z_s], axis=1)
         points = jnp.where(valid[:, None], points, 0.0)
         cnt_s = jnp.where(valid, cnt_s, 0.0)
@@ -351,38 +465,56 @@ def compact_cells(
     if voxel_leaf is not None:
         w = jnp.where(valid, cnt_s[:cap], 0.0)
         snapped, snap_valid = voxel_snap(points, w, voxel_leaf)
-        if cap > max_points:
-            # Occupied voxels can exceed max_points (small-cap configs /
-            # cluttered scenes). snapped is voxel-key sorted (x-major), so a
-            # plain prefix keep would drop a contiguous spatial band of the
-            # scene — observed chopping half the rope and blinding the
-            # tracker. Decimate with an even stride over the packed valid
-            # prefix instead: coverage degrades in density, not in extent.
-            # (The reference's VoxelGrid has no capacity cap at all,
-            # trackdlo_node.cpp:236-241 — the cap is our static-shape
-            # artifact, so overflow must degrade gracefully.) Statically
-            # free whenever cap <= max_points (the shipped default:
-            # candidate_cap 2048 vs max_points 4096).
-            n_vox = jnp.sum(snap_valid.astype(jnp.int32))
-            n_eff = jnp.maximum(n_vox, max_points)
-            i = jnp.arange(cap, dtype=jnp.int32)
-            kept = ((i + 1) * max_points // n_eff > i * max_points // n_eff)
-            kept = kept & snap_valid
-            rank = jnp.where(kept, i, cap)
-            key_k, x_k, y_k, z_k = jax.lax.sort(
-                (rank, snapped[:, 0], snapped[:, 1], snapped[:, 2]),
-                num_keys=1,
-            )
-            valid = key_k[:max_points] < cap
-            points = jnp.stack(
-                [x_k[:max_points], y_k[:max_points], z_k[:max_points]], axis=1
-            )
-        else:
-            points = snapped[:max_points]
-            valid = snap_valid[:max_points]
-        points = jnp.where(valid[:, None], points, 0.0)
+        points, valid = _cap_snapped(snapped, snap_valid, cap, max_points)
 
     return PointCloud(points=points, mask=valid, count=jnp.sum(valid.astype(jnp.int32)))
+
+
+def _cap_snapped(
+    snapped: jnp.ndarray,
+    snap_valid: jnp.ndarray,
+    cap: int,
+    max_points: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fit ``cap`` snapped voxel centroids into ``max_points`` output slots.
+
+    Occupied voxels can exceed max_points (small-cap configs / cluttered
+    scenes). snapped is voxel-key sorted (x-major), so a plain prefix keep
+    would drop a contiguous spatial band of the scene — observed chopping
+    half the rope and blinding the tracker. Decimate with an even stride
+    over the packed valid prefix instead: coverage degrades in density, not
+    in extent. (The reference's VoxelGrid has no capacity cap at all,
+    trackdlo_node.cpp:236-241 — the cap is our static-shape artifact, so
+    overflow must degrade gracefully.) Statically free whenever
+    cap <= max_points (the shipped default: candidate_cap 2048 vs
+    max_points 4096)."""
+    if cap > max_points:
+        vi = snap_valid.astype(jnp.int32)
+        n_vox = jnp.sum(vi)
+        n_eff = jnp.maximum(n_vox, max_points)
+        # Stride over the rank AMONG VALID entries (exclusive cumsum), not
+        # the slot index: the channel-batched snap emits validity in C
+        # packed blocks, not one packed prefix, and a slot-index stride
+        # would under-fill and thin unevenly there. For a packed prefix
+        # rank == index on valid slots, so this is the same selection.
+        rank_v = jnp.cumsum(vi) - vi
+        kept = snap_valid & (
+            (rank_v + 1) * max_points // n_eff > rank_v * max_points // n_eff
+        )
+        i = jnp.arange(cap, dtype=jnp.int32)
+        rank = jnp.where(kept, i, cap)
+        key_k, x_k, y_k, z_k = jax.lax.sort(
+            (rank, snapped[:, 0], snapped[:, 1], snapped[:, 2]),
+            num_keys=1,
+        )
+        valid = key_k[:max_points] < cap
+        points = jnp.stack(
+            [x_k[:max_points], y_k[:max_points], z_k[:max_points]], axis=1
+        )
+    else:
+        points = snapped[:max_points]
+        valid = snap_valid[:max_points]
+    return jnp.where(valid[:, None], points, 0.0), valid
 
 
 def default_cell_px(leaf_size: float, fx: float, z_ref: float = 0.65) -> int:
