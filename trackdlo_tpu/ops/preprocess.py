@@ -63,10 +63,43 @@ def rgb_to_hsv_cv(rgb: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([h, s, v], axis=-1)
 
 
-def _in_range(hsv, lower, upper):
-    lo = jnp.asarray(lower, jnp.float32)
-    hi = jnp.asarray(upper, jnp.float32)
-    return jnp.all((hsv >= lo) & (hsv <= hi), axis=-1)
+def hsv_in_range(r, g, b, lower, upper):
+    """Exact HSV in-range test via cross-multiplication — no divisions.
+
+    The mathematical predicate lo_s <= 255·Δ/V <= hi_s (and the H analog
+    with its branch structure) multiplies through by the positive
+    denominator instead of dividing: every product of the u8-valued inputs
+    stays below 2^24, so f32 multiplies evaluate the EXACT rational
+    predicate — equal to the divide-based test away from its f32 rounding
+    boundaries and correct ON them, at full VPU rate with zero divides
+    (two divides per pixel were the bulk of the old per-pixel mask cost).
+    Shared by the XLA path and the Pallas kernel (r, g, b are f32-valued
+    u8 channels). Matches cv2 inRange(cv2 HSV) up to cv2's own fixed-point
+    H/S rounding at band boundaries (same class as before)."""
+    lo_h, lo_s, lo_v = (float(x) for x in lower)
+    hi_h, hi_s, hi_v = (float(x) for x in upper)
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    d = v - mn
+    s_ok = jnp.where(
+        v > 0,
+        (255.0 * d >= lo_s * v) & (255.0 * d <= hi_s * v),
+        lo_s <= 0.0,
+    )
+    # h·2Δ in degree units: 60(g−b) | 120Δ+60(b−r) | 240Δ+60(r−g), wrapped
+    # by +360Δ when negative; stored h = that / (2Δ).
+    hn = jnp.where(
+        v == r,
+        60.0 * (g - b),
+        jnp.where(v == g, 120.0 * d + 60.0 * (b - r), 240.0 * d + 60.0 * (r - g)),
+    )
+    hn = jnp.where(hn < 0, hn + 360.0 * d, hn)
+    h_ok = jnp.where(
+        d > 0,
+        (hn >= 2.0 * lo_h * d) & (hn <= 2.0 * hi_h * d),
+        lo_h <= 0.0,
+    )
+    return h_ok & s_ok & (v >= lo_v) & (v <= hi_v)
 
 
 def segment_mask(
@@ -77,14 +110,15 @@ def segment_mask(
 ) -> jnp.ndarray:
     """DLO segmentation (trackdlo_node.cpp:161-167; multi-colour bands from
     color_thresholding, trackdlo_node.cpp:88-119)."""
-    hsv = rgb_to_hsv_cv(rgb)
+    rgbf = rgb.astype(jnp.float32)
+    r, g, b = rgbf[..., 0], rgbf[..., 1], rgbf[..., 2]
     if not multi_color_dlo:
-        return _in_range(hsv, hsv_lower, hsv_upper)
+        return hsv_in_range(r, g, b, hsv_lower, hsv_upper)
     return (
-        _in_range(hsv, (90, 90, 60), (130, 255, 255))
-        | _in_range(hsv, (130, 60, 50), (255, 255, 255))
-        | _in_range(hsv, (0, 60, 50), (10, 255, 255))
-        | _in_range(hsv, (15, 100, 80), (40, 255, 255))
+        hsv_in_range(r, g, b, (90, 90, 60), (130, 255, 255))
+        | hsv_in_range(r, g, b, (130, 60, 50), (255, 255, 255))
+        | hsv_in_range(r, g, b, (0, 60, 50), (10, 255, 255))
+        | hsv_in_range(r, g, b, (15, 100, 80), (40, 255, 255))
     )
 
 

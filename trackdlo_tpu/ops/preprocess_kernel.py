@@ -32,38 +32,22 @@ def _round_up(v: int, m: int) -> int:
 
 
 def _hsv_mask_block(r, g, b, lower, upper, multi_color):
-    """OpenCV-convention HSV in-range test, elementwise on a block."""
-    v = jnp.maximum(jnp.maximum(r, g), b)
-    mn = jnp.minimum(jnp.minimum(r, g), b)
-    delta = v - mn
-    delta_safe = jnp.where(delta == 0, 1.0, delta)
-    s = jnp.where(v > 0, delta * 255.0 / jnp.where(v == 0, 1.0, v), 0.0)
-    h = jnp.where(
-        v == r,
-        60.0 * (g - b) / delta_safe,
-        jnp.where(
-            v == g,
-            120.0 + 60.0 * (b - r) / delta_safe,
-            240.0 + 60.0 * (r - g) / delta_safe,
-        ),
-    )
-    h = jnp.where(delta == 0, 0.0, h)
-    h = jnp.where(h < 0, h + 360.0, h) / 2.0
+    """OpenCV-convention HSV in-range test, elementwise on a block.
 
-    def in_range(lo, hi):
-        return (
-            (h >= lo[0]) & (h <= hi[0])
-            & (s >= lo[1]) & (s <= hi[1])
-            & (v >= lo[2]) & (v <= hi[2])
-        )
+    Shares ops.preprocess.hsv_in_range — the division-free cross-multiplied
+    predicate whose f32 products are all exact (inputs are u8-valued), so
+    the Mosaic lowering is bit-identical to the XLA path's mask by
+    construction (no divides or non-exact rounding for the two compilers to
+    disagree on)."""
+    from trackdlo_tpu.ops.preprocess import hsv_in_range
 
     if not multi_color:
-        return in_range(lower, upper)
+        return hsv_in_range(r, g, b, lower, upper)
     return (
-        in_range((90, 90, 60), (130, 255, 255))
-        | in_range((130, 60, 50), (255, 255, 255))
-        | in_range((0, 60, 50), (10, 255, 255))
-        | in_range((15, 100, 80), (40, 255, 255))
+        hsv_in_range(r, g, b, (90, 90, 60), (130, 255, 255))
+        | hsv_in_range(r, g, b, (130, 60, 50), (255, 255, 255))
+        | hsv_in_range(r, g, b, (0, 60, 50), (10, 255, 255))
+        | hsv_in_range(r, g, b, (15, 100, 80), (40, 255, 255))
     )
 
 
