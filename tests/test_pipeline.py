@@ -25,6 +25,45 @@ def setup():
     return params, intr, rope
 
 
+class TestHsvPredicate:
+    def test_cross_multiplied_equals_float_hsv(self):
+        """The division-free in-range predicate (ops.preprocess.hsv_in_range)
+        must equal the classical float HSV computation + threshold compare on
+        a dense RGB grid (it IS the same rational predicate, evaluated
+        exactly; f64 here removes the float path's own rounding noise)."""
+        import numpy as np
+
+        from trackdlo_tpu.ops.preprocess import hsv_in_range
+
+        lo, hi = (90, 80, 80), (130, 255, 255)
+        vals = np.arange(0, 256, 5, dtype=np.float64)
+        r, g, b = (a.ravel() for a in np.meshgrid(vals, vals, vals, indexing="ij"))
+        v = np.maximum(np.maximum(r, g), b)
+        mn = np.minimum(np.minimum(r, g), b)
+        delta = v - mn
+        ds = np.where(delta == 0, 1.0, delta)
+        s = np.where(v > 0, delta * 255.0 / np.where(v == 0, 1.0, v), 0.0)
+        h = np.where(
+            v == r,
+            60.0 * (g - b) / ds,
+            np.where(v == g, 120.0 + 60.0 * (b - r) / ds, 240.0 + 60.0 * (r - g) / ds),
+        )
+        h = np.where(delta == 0, 0.0, h)
+        h = np.where(h < 0, h + 360.0, h) / 2.0
+        ref = (
+            (h >= lo[0]) & (h <= hi[0])
+            & (s >= lo[1]) & (s <= hi[1])
+            & (v >= lo[2]) & (v <= hi[2])
+        )
+        got = np.asarray(
+            hsv_in_range(
+                jnp.asarray(r, jnp.float32), jnp.asarray(g, jnp.float32),
+                jnp.asarray(b, jnp.float32), lo, hi,
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
+
 class TestPreprocessParity:
     def test_mask_and_cloud_agree(self, setup):
         params, intr, rope = setup
