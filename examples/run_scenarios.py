@@ -79,7 +79,9 @@ def run_all(save_dir="eval_results", n_frames=105, use_markers=False):
         f"{n_frames} frames/scenario over each reference schedule horizon; "
         "(E1+E2)/2 vs exact GT (mm); scheduled occlusion (per-scenario rects "
         "/ pct-bbox, run_evaluation.cpp:112-282); error files + 0.5 s eval "
-        "images in the save dir.",
+        "images in the save dir. Backend: "
+        f"`{__import__('jax').default_backend()}` · "
+        f"{__import__('time').strftime('%Y-%m-%d %H:%M')}.",
         "",
         "| scenario | frames | scored | mean | p50 | p95 | max | states seen |",
         "|---|---|---|---|---|---|---|---|",
