@@ -81,11 +81,13 @@ def hsv_in_range(r, g, b, lower, upper):
     v = jnp.maximum(jnp.maximum(r, g), b)
     mn = jnp.minimum(jnp.minimum(r, g), b)
     d = v - mn
-    s_ok = jnp.where(
-        v > 0,
-        (255.0 * d >= lo_s * v) & (255.0 * d <= hi_s * v),
-        lo_s <= 0.0,
-    )
+    # Degenerate-denominator cases (v==0, d==0) fold into the boolean
+    # expression instead of a jnp.where over booleans: Mosaic cannot lower a
+    # boolean select_n (trunci i8->i1 "Unsupported target bitwidth"), and the
+    # logical form is exactly equivalent since the Python-level constant
+    # (lo <= 0) is known at trace time.
+    s_test = (255.0 * d >= lo_s * v) & (255.0 * d <= hi_s * v)
+    s_ok = (s_test | (v <= 0)) if lo_s <= 0.0 else (s_test & (v > 0))
     # h·2Δ in degree units: 60(g−b) | 120Δ+60(b−r) | 240Δ+60(r−g), wrapped
     # by +360Δ when negative; stored h = that / (2Δ).
     hn = jnp.where(
@@ -94,11 +96,8 @@ def hsv_in_range(r, g, b, lower, upper):
         jnp.where(v == g, 120.0 * d + 60.0 * (b - r), 240.0 * d + 60.0 * (r - g)),
     )
     hn = jnp.where(hn < 0, hn + 360.0 * d, hn)
-    h_ok = jnp.where(
-        d > 0,
-        (hn >= 2.0 * lo_h * d) & (hn <= 2.0 * hi_h * d),
-        lo_h <= 0.0,
-    )
+    h_test = (hn >= 2.0 * lo_h * d) & (hn <= 2.0 * hi_h * d)
+    h_ok = (h_test | (d <= 0)) if lo_h <= 0.0 else (h_test & (d > 0))
     return h_ok & s_ok & (v >= lo_v) & (v <= hi_v)
 
 
