@@ -26,7 +26,19 @@ def setup():
 
 
 class TestHsvPredicate:
-    def test_cross_multiplied_equals_float_hsv(self):
+    @pytest.mark.parametrize(
+        "lo,hi",
+        [
+            ((90, 80, 80), (130, 255, 255)),
+            # Zero lower bounds exercise the degenerate-denominator branches
+            # (v==0 / delta==0 fold to True): these are trace-time Python
+            # branches since the Mosaic boolean-select fix, so both sides
+            # need pinning.
+            ((0, 80, 50), (10, 255, 255)),
+            ((0, 0, 0), (180, 255, 255)),
+        ],
+    )
+    def test_cross_multiplied_equals_float_hsv(self, lo, hi):
         """The division-free in-range predicate (ops.preprocess.hsv_in_range)
         must equal the classical float HSV computation + threshold compare on
         a dense RGB grid (it IS the same rational predicate, evaluated
@@ -35,7 +47,6 @@ class TestHsvPredicate:
 
         from trackdlo_tpu.ops.preprocess import hsv_in_range
 
-        lo, hi = (90, 80, 80), (130, 255, 255)
         vals = np.arange(0, 256, 5, dtype=np.float64)
         r, g, b = (a.ravel() for a in np.meshgrid(vals, vals, vals, indexing="ij"))
         v = np.maximum(np.maximum(r, g), b)
