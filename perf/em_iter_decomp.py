@@ -56,7 +56,6 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/trackdlo_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
 
     from trackdlo_tpu.config import CameraIntrinsics, live_params
@@ -83,6 +82,13 @@ def main():
         )
     )(jnp.asarray(rgb), jnp.asarray(depth), occ)
     state = init_state(rope.nodes(1 / 15.0, params.M), params)
+
+    # Mirror the product's EM matmul precision for the raw solve/glue bodies
+    # below. Set AFTER the preprocess trace: a global "highest" at trace time
+    # makes Mosaic lower the preprocess kernel's explicit-bf16 binning dots
+    # with fp32 contract precision on bf16 operands, which it rejects
+    # ("Bad lhs type") — the product scopes "highest" to the EM ops only.
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     m = params.M
     m_pad = (m + 7) // 8 * 8

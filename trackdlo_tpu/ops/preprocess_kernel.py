@@ -121,8 +121,14 @@ def _make_kernel(
             out = None
             for piece in pieces:
                 lhs, rhs_op = (mat_bf, piece) if left else (piece, mat_bf)
+                # precision is pinned to DEFAULT: exactness comes from the
+                # 3-way bf16 decomposition, not the contraction precision,
+                # and a global jax_default_matmul_precision="highest" would
+                # otherwise make Mosaic lower these bf16 dots with fp32
+                # contract precision, which it rejects ("Bad lhs type").
                 term = jax.lax.dot_general(
-                    lhs, rhs_op, dims, preferred_element_type=jnp.float32
+                    lhs, rhs_op, dims, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
                 )
                 out = term if out is None else out + term
             return out
