@@ -1,4 +1,10 @@
-"""Focused A/B: current compact_cells vs packed-cnt 4-operand variant.
+"""Focused A/B: 5-operand baseline sort vs packed-cnt 4-operand variant.
+
+HISTORICAL NOTE: the recorded compact_ab.json PREDATES the merge of the
+packed-count variant into compact_cells (commit 33cb6a2). Since that merge
+the in-tree compact_cells IS the packed variant, so this script inlines the
+old 5-operand sort below (_baseline_compact) to keep the A/B meaningful —
+rerunning compares genuine old-vs-new, not packed-vs-packed.
 
 compact_experiments2.py's tiny bodies produced slopes inside the tunnel
 noise floor (rank_thinning measured -0.25 ms). This reruns ONLY the two
@@ -56,7 +62,7 @@ def main():
     from trackdlo_tpu.config import CameraIntrinsics, live_params
     from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
     from trackdlo_tpu.ops.preprocess import (
-        _voxel_snap_channels, compact_cells, default_cell_px,
+        _voxel_snap_channels, default_cell_px,
     )
     from trackdlo_tpu.ops.preprocess_kernel import cell_sums_pallas
 
@@ -89,12 +95,28 @@ def main():
     bits = 14
 
     def baseline_body():
+        # The PRE-merge 5-operand sort (counts carried as a separate
+        # operand), inlined so the A/B still measures old-vs-new now that
+        # compact_cells itself ships the packed variant (commit 33cb6a2).
         def body(c):
-            p = compact_cells(
-                cells8, counts8 + c * 0, params.max_points, leaf,
-                candidate_cap=cap, n_channels=8,
+            cnt = countsr + c * 0
+            vch = cnt > 0
+            vi = vch.astype(jnp.int32)
+            n_occ = jnp.sum(vi, axis=1, keepdims=True)
+            n_eff = jnp.maximum(n_occ, cap_per)
+            rank = jnp.cumsum(vi, axis=1) - vi
+            kept = vch & ((rank + 1) * cap_per // n_eff > rank * cap_per // n_eff)
+            idx = jnp.arange(n_per, dtype=jnp.int32)[None, :]
+            key = jnp.where(kept, idx, n_per)
+            key_s, cnt_s, x_s, y_s, z_s = jax.lax.sort(
+                (key, cnt, cellsr3[..., 0], cellsr3[..., 1], cellsr3[..., 2]),
+                num_keys=1,
             )
-            return jnp.sum(p.points) * 1e-12 + c * 0.5
+            validk = key_s[:, :cap_per] < n_per
+            cnt_k = jnp.where(validk, cnt_s[:, :cap_per], 0.0)
+            pts_k = jnp.stack([a[:, :cap_per] for a in (x_s, y_s, z_s)], axis=-1)
+            s, v = _voxel_snap_channels(pts_k, cnt_k, leaf, parities)
+            return jnp.sum(s) * 1e-12 + c * 0.5
         return body
 
     def packed_body():

@@ -267,6 +267,13 @@ def preprocess_frame(
     centroids exactly — closed-loop oracle parity without fine cells.
     """
     h, w = depth.shape
+    # Per-cell pixel counts (<= cell_px^2) must fit the packed sort key's
+    # count field in compact_cells — jnp.minimum there would otherwise
+    # silently alter voxel-snap centroid weights (advisor r3 finding).
+    assert cell_px * cell_px <= (1 << 14) - 1, (
+        f"cell_px={cell_px}: counts up to {cell_px * cell_px} overflow the "
+        "14-bit packed sort-key count field (max 16383)"
+    )
     mask = segment_mask(rgb, hsv_lower, hsv_upper, multi_color_dlo)
     mask = mask & occlusion_mask
     z = depth.astype(jnp.float32) / 1000.0

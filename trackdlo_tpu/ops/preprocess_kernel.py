@@ -241,6 +241,12 @@ def cell_sums_pallas(
     ops.preprocess cell pooling, C = cell grid (x8 channels when
     ``parity_split``; see ops/preprocess.preprocess_frame)."""
     h, w = depth.shape
+    # Same packed-count bound as preprocess_frame: downstream compact_cells
+    # packs per-cell counts into 14 key bits (advisor r3 finding).
+    assert cell_px * cell_px <= (1 << 14) - 1, (
+        f"cell_px={cell_px}: counts up to {cell_px * cell_px} overflow the "
+        "14-bit packed sort-key count field (max 16383)"
+    )
     h_pad = _round_up(h, ROW_BLOCK)
     w_pad = _round_up(w, COL_BLOCK)
     n_cell_rows = -(-h // cell_px)
