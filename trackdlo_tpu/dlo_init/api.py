@@ -107,9 +107,14 @@ def register_initialize(
     from trackdlo_tpu.oracle.preprocess import voxel_downsample
 
     mask = segment_dlo(rgb, params.hsv_lower, params.hsv_upper, params.multi_color_dlo)
-    pts = deproject(mask, depth, intrinsics.fx, intrinsics.fy, intrinsics.cx, intrinsics.cy)
-    pts = pts[pts[:, 2] > 0]
-    pts = voxel_downsample(pts, params.downsample_leaf_size)
+    pts, z_mm = deproject(
+        mask, depth, intrinsics.fx, intrinsics.fy, intrinsics.cx,
+        intrinsics.cy, return_z_mm=True,
+    )
+    keep = pts[:, 2] > 0
+    pts = voxel_downsample(
+        pts[keep], params.downsample_leaf_size, z_mm=z_mm[keep]
+    )
     if len(pts) < params.num_of_nodes:
         raise ValueError("too few points for cold-start registration")
     y, _ = register_cold_start(pts, params.num_of_nodes, mu=0.05, max_iter=100)

@@ -103,19 +103,24 @@ def preprocess_for_step(
         from trackdlo_tpu.ops.preprocess import compact_cells
         from trackdlo_tpu.ops.preprocess_kernel import cell_sums_pallas
 
-        cells, counts = cell_sums_pallas(
+        parity = params.parity_split and voxel_leaf is not None
+        coarse_votes = (not parity) and voxel_leaf is not None
+        out = cell_sums_pallas(
             rgb, depth, occlusion_mask,
             intr.fx, intr.fy, intr.cx, intr.cy,
             params.hsv_lower, params.hsv_upper, params.multi_color_dlo,
             cell_px,
             interpret=jax.default_backend() != "tpu",
-            parity_split=params.parity_split and voxel_leaf is not None,
+            parity_split=parity,
             voxel_leaf=voxel_leaf,
+            with_votes=coarse_votes,
         )
+        cells, counts = out[:2]
         return compact_cells(
             cells, counts, params.max_points, voxel_leaf,
             candidate_cap=candidate_cap,
-            n_channels=8 if (params.parity_split and voxel_leaf is not None) else 1,
+            n_channels=8 if parity else 1,
+            key_sums=out[2] if coarse_votes else None,
         )
     return preprocess_frame(
         rgb,

@@ -28,12 +28,96 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class PointCloud(NamedTuple):
     points: jnp.ndarray  # (N_cap, 3)
     mask: jnp.ndarray  # (N_cap,)
     count: jnp.ndarray  # ()
+
+
+def exact_leaf_mm(voxel_leaf: float) -> int | None:
+    """The leaf size in integer millimetres, or None if not integral."""
+    leaf_mm = voxel_leaf * 1000.0
+    leaf_mm_i = int(round(leaf_mm))
+    if leaf_mm_i > 0 and abs(leaf_mm - leaf_mm_i) < 1e-6:
+        return leaf_mm_i
+    return None
+
+
+def voxel_parity_bits(
+    us: jnp.ndarray,
+    vs: jnp.ndarray,
+    depth_f32: jnp.ndarray,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    voxel_leaf: float,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-pixel voxel parity bits, BIT-PINNED across XLA and Mosaic.
+
+    The parity channel assignment is the one preprocessing computation whose
+    floor must agree EXACTLY between the Pallas kernel and its XLA twin (a
+    one-ulp difference flips a pixel's channel and changes the candidate
+    count — the kernel-vs-XLA count_delta the r3 audit tolerated at ±1).
+    Two pinning rules (round 4):
+
+    - z: computed in the integer-mm domain. Depth is u16 millimetres, so
+      floor(depth_mm / leaf_mm) is exact mathematics; the f32 realization
+      floor(depth_f32 * (1/leaf_mm)) is proven exact for ALL u16 depths and
+      every integral-mm leaf in 1..20 (exhaustive test,
+      tests/test_pallas.py::TestVoxelParityBits). This also matches the f64
+      oracle's mm-domain keys exactly — no f32-vs-f64 knife edges on z, the
+      dominant flip source (mm-quantized depth on 8 mm boundaries).
+    - x/y: a multiply-only chain — (u - cx) · (depth·0.001f) · (1/(fx·leaf))
+      — identical elementwise f32 ops in both compilers. Divisions are
+      excluded because a compiler may rewrite division-by-constant into a
+      differently-rounded reciprocal multiply (the suspected source of the
+      residual r3 flip); plain multiplies are IEEE-identical everywhere.
+
+    Reference semantics: PCL VoxelGrid's own f32 floor(coord·inv_leaf)
+    (voxel_grid.h), whose result at exact-boundary depths depends on its
+    f32 chain; the integer-mm spec is the chain-independent true floor.
+    """
+    fkx, fky, fkz = voxel_floor_keys(
+        us, vs, depth_f32, fx, fy, cx, cy, voxel_leaf
+    )
+    return (
+        fkx.astype(jnp.int32) & 1,
+        fky.astype(jnp.int32) & 1,
+        fkz.astype(jnp.int32) & 1,
+    )
+
+
+def voxel_floor_keys(
+    us: jnp.ndarray,
+    vs: jnp.ndarray,
+    depth_f32: jnp.ndarray,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    voxel_leaf: float,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-pixel voxel floor indices as integer-valued f32, bit-pinned
+    across XLA and Mosaic (the full-key sibling of
+    :func:`voxel_parity_bits` — see its docstring for the pinning rules).
+
+    Returned as f32 (not int) so they can ride the pooling matmuls; every
+    value is an exact small integer."""
+    kx = np.float32(1.0 / (fx * voxel_leaf))
+    ky = np.float32(1.0 / (fy * voxel_leaf))
+    zq = depth_f32 * np.float32(0.001)
+    fkx = jnp.floor(((us - np.float32(cx)) * zq) * kx)
+    fky = jnp.floor(((vs - np.float32(cy)) * zq) * ky)
+    leaf_mm = exact_leaf_mm(voxel_leaf)
+    if leaf_mm is not None:
+        fkz = jnp.floor(depth_f32 * np.float32(1.0 / leaf_mm))
+    else:
+        fkz = jnp.floor(zq * np.float32(1.0 / voxel_leaf))
+    return fkx, fky, fkz
 
 
 def rgb_to_hsv_cv(rgb: jnp.ndarray) -> jnp.ndarray:
@@ -125,6 +209,7 @@ def voxel_snap(
     points: jnp.ndarray,
     weights: jnp.ndarray,
     leaf: float,
+    vote_keys: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Weighted centroid per voxel over a fixed-capacity candidate set.
 
@@ -133,18 +218,31 @@ def voxel_snap(
     recovering PCL VoxelGrid semantics (trackdlo_node.cpp:236-241) up to
     cells that straddle voxel boundaries. Cost: one argsort + segment sums
     over the candidate capacity (small), never over pixels.
+
+    ``vote_keys``: optional per-candidate packed voxel keys (from
+    :func:`pack_vote_keys` — the cells' own per-pixel floor votes). When
+    given, candidates merge by that key instead of flooring the f32
+    centroid, making the merge DETERMINISTIC and bit-identical between the
+    Pallas-kernel and XLA pooling paths (a one-ulp centroid difference can
+    no longer flip a knife-edge voxel key — the r3 audit's coarse-path
+    count_delta ±1).
     """
     c = points.shape[0]
-    inv = 1.0 / leaf
-    ijk = jnp.floor(points * inv).astype(jnp.int32)
     valid = weights > 0
-    # Re-base to the frame's occupied extent so the key fits 30 bits under
-    # JAX's default int32 (scenes beyond 1024 leaves/axis clamp — irrelevant
-    # at tracking scale).
-    ijk_min = jnp.min(jnp.where(valid[:, None], ijk, jnp.iinfo(jnp.int32).max), axis=0)
-    rel = jnp.clip(ijk - ijk_min, 0, (1 << 10) - 1)
-    key = rel[:, 0] * (1 << 20) + rel[:, 1] * (1 << 10) + rel[:, 2]
-    key = jnp.where(valid, key, jnp.iinfo(jnp.int32).max)
+    if vote_keys is not None:
+        key = jnp.where(valid, vote_keys, jnp.iinfo(jnp.int32).max)
+    else:
+        inv = 1.0 / leaf
+        ijk = jnp.floor(points * inv).astype(jnp.int32)
+        # Re-base to the frame's occupied extent so the key fits 30 bits
+        # under JAX's default int32 (scenes beyond 1024 leaves/axis clamp —
+        # irrelevant at tracking scale).
+        ijk_min = jnp.min(
+            jnp.where(valid[:, None], ijk, jnp.iinfo(jnp.int32).max), axis=0
+        )
+        rel = jnp.clip(ijk - ijk_min, 0, (1 << 10) - 1)
+        key = rel[:, 0] * (1 << 20) + rel[:, 1] * (1 << 10) + rel[:, 2]
+        key = jnp.where(valid, key, jnp.iinfo(jnp.int32).max)
     # Multi-operand sort carries the weighted coordinates along with the key:
     # no post-sort row gathers (batched gathers dominate this stage on TPU,
     # ~0.3 ms per gather at batch 8; the sort itself is ~free).
@@ -166,6 +264,31 @@ def voxel_snap(
     centroids = psum / jnp.maximum(wsum, 1.0)[:, None]
     out_valid = wsum > 0
     return jnp.where(out_valid[:, None], centroids, 0.0), out_valid
+
+
+def pack_vote_keys(
+    key_sums: jnp.ndarray,
+    counts: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-cell packed voxel key from pooled per-pixel floor votes.
+
+    ``key_sums`` (C, 3) are pooled sums of per-pixel voxel floor indices
+    (ops/preprocess.voxel_floor_keys) — integer-valued f32, EXACT in any
+    summation order, hence bit-identical between the Pallas kernel and the
+    XLA pooling. The cell's voxel = rounded mean vote per axis (for a cell
+    whose pixels share one voxel this IS that voxel; a straddling cell goes
+    to the majority side). All arithmetic here is shared XLA code operating
+    on exactly-equal inputs, so both pipelines produce identical keys by
+    construction. Packs to rel-x<<20 | rel-y<<10 | rel-z (same 30-bit
+    rebased layout as voxel_snap's floor path)."""
+    cnt = jnp.maximum(counts, 1.0)
+    kv = jnp.floor(key_sums / cnt[:, None] + 0.5).astype(jnp.int32)
+    kv_min = jnp.min(
+        jnp.where(valid[:, None], kv, jnp.iinfo(jnp.int32).max), axis=0
+    )
+    rel = jnp.clip(kv - kv_min, 0, (1 << 10) - 1)
+    return rel[:, 0] * (1 << 20) + rel[:, 1] * (1 << 10) + rel[:, 2]
 
 
 def _voxel_snap_channels(
@@ -297,11 +420,14 @@ def preprocess_frame(
         tiles = img.reshape(ch, cell_px, cw, cell_px)
         return tiles.sum(axis=(1, 3)).reshape(-1)
 
+    key_sums = None
     if parity_split and voxel_leaf is not None:
-        inv = 1.0 / voxel_leaf
-        par_x = jnp.floor(px * inv).astype(jnp.int32) & 1
-        par_y = jnp.floor(py * inv).astype(jnp.int32) & 1
-        par_z = jnp.floor(z * inv).astype(jnp.int32) & 1
+        # Bit-pinned parity bits (shared spec with the Pallas kernel —
+        # kernel-vs-XLA channel assignment must match exactly; see
+        # voxel_parity_bits).
+        par_x, par_y, par_z = voxel_parity_bits(
+            us, vs, depth.astype(jnp.float32), fx, fy, cx, cy, voxel_leaf
+        )
         all_cells, all_counts = [], []
         for bx in (0, 1):
             for by in (0, 1):
@@ -329,9 +455,22 @@ def preprocess_frame(
              pool(z, maskf) / denom],
             axis=1,
         )
+        if voxel_leaf is not None:
+            # Coarse two-stage mode: also pool the per-pixel voxel floor
+            # VOTES (integer-valued f32 — exact in any summation order) so
+            # the snap merges deterministically and bit-identically to the
+            # Pallas kernel path (voxel_floor_keys / pack_vote_keys).
+            fkx, fky, fkz = voxel_floor_keys(
+                us, vs, depth.astype(jnp.float32), fx, fy, cx, cy, voxel_leaf
+            )
+            key_sums = jnp.stack(
+                [pool(fkx, maskf), pool(fky, maskf), pool(fkz, maskf)],
+                axis=1,
+            )
     return compact_cells(
         cells, counts, max_points, voxel_leaf, candidate_cap,
         n_channels=8 if (parity_split and voxel_leaf is not None) else 1,
+        key_sums=key_sums,
     )
 
 
@@ -387,9 +526,16 @@ def compact_cells(
     voxel_leaf: float | None,
     candidate_cap: int = 4096,
     n_channels: int = 1,
+    key_sums: jnp.ndarray | None = None,
 ) -> PointCloud:
     """Compact cell centroids into the fixed-capacity point set, optionally
     snapping to voxel bins (shared tail of the XLA and Pallas front ends).
+
+    ``key_sums`` (C, 3, single-channel mode only): pooled per-pixel voxel
+    floor votes (voxel_floor_keys) — when given, the voxel snap merges by
+    each cell's rounded mean vote instead of flooring its f32 centroid,
+    which makes the coarse path's output count bit-identical between the
+    kernel and XLA poolings (see pack_vote_keys / voxel_snap).
 
     ``n_channels``: with the voxel-parity split the grid is 8 channel-major
     copies of the cell grid; sorting all 8*n_cells entries in one flat sort
@@ -489,9 +635,14 @@ def compact_cells(
         cnt_s = jnp.where(valid, cnt_s, 0.0)
     else:
         keys = jnp.where(cell_valid, jnp.arange(n_cells, dtype=jnp.int32), n_cells)
-        key_s, x_s, y_s, z_s, cnt_s = jax.lax.sort(
-            (keys, cells[:, 0], cells[:, 1], cells[:, 2], counts), num_keys=1
-        )
+        use_votes = key_sums is not None and voxel_leaf is not None
+        ops = [keys, cells[:, 0], cells[:, 1], cells[:, 2], counts]
+        if use_votes:
+            # Vote keys ride the compaction sort as one extra int32 operand
+            # (packed 30-bit keys don't round-trip f32; lax.sort carries
+            # mixed dtypes).
+            ops.append(pack_vote_keys(key_sums, counts, cell_valid))
+        sorted_ops = jax.lax.sort(tuple(ops), num_keys=1)
         if voxel_leaf is None and n_cells > cap:
             # Occupied cells can exceed the capacity (exact_voxels=False
             # configs with small max_points). The keys are raster-order cell
@@ -501,21 +652,43 @@ def compact_cells(
             # (same rationale as the voxel-overflow branch below).
             # int32 is safe: n_cells * cap stays far below 2^31 for any
             # realistic cell grid (720p/8px = 14400 cells x 4096 cap = 59M).
+            key_s = sorted_ops[0]
             n_occ = jnp.sum(cell_valid.astype(jnp.int32))
             n_eff = jnp.maximum(n_occ, cap)
             i = jnp.arange(n_cells, dtype=jnp.int32)
             kept = ((i + 1) * cap // n_eff > i * cap // n_eff) & (key_s < n_cells)
             rank = jnp.where(kept, i, n_cells)
-            key_s, x_s, y_s, z_s, cnt_s = jax.lax.sort(
-                (rank, x_s, y_s, z_s, cnt_s), num_keys=1
+            sorted_ops = jax.lax.sort(
+                (rank, *sorted_ops[1:]), num_keys=1
             )
+        key_s, x_s, y_s, z_s, cnt_s = sorted_ops[:5]
         valid = key_s[:cap] < n_cells
         points = jnp.stack([x_s[:cap], y_s[:cap], z_s[:cap]], axis=1)
         points = jnp.where(valid[:, None], points, 0.0)
+        if n_cells < cap:
+            # Fewer grid cells than candidate slots (coarse cells / large
+            # caps): pad to the static cap so the downstream snap +
+            # _cap_snapped see their expected length (latent shape bug,
+            # found by perf/cell_parity_sweep.py at cell_px>=16).
+            pad = cap - n_cells
+            points = jnp.pad(points, ((0, pad), (0, 0)))
+            valid = jnp.pad(valid, (0, pad))
+            cnt_s = jnp.pad(cnt_s, (0, pad))
+            sorted_ops = (
+                *(jnp.pad(a, (0, pad)) for a in sorted_ops[:5]),
+                *(
+                    (jnp.pad(sorted_ops[5], (0, pad)),)
+                    if len(sorted_ops) > 5
+                    else ()
+                ),
+            )
 
     if voxel_leaf is not None:
         w = jnp.where(valid, cnt_s[:cap], 0.0)
-        snapped, snap_valid = voxel_snap(points, w, voxel_leaf)
+        vote_keys = sorted_ops[5][:cap] if use_votes else None
+        snapped, snap_valid = voxel_snap(
+            points, w, voxel_leaf, vote_keys=vote_keys
+        )
         points, valid = _cap_snapped(snapped, snap_valid, cap, max_points)
 
     return PointCloud(points=points, mask=valid, count=jnp.sum(valid.astype(jnp.int32)))

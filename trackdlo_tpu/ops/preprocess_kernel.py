@@ -53,11 +53,15 @@ def _hsv_mask_block(r, g, b, lower, upper, multi_color):
 
 def _make_kernel(
     lower, upper, multi_color, fx, fy, cx, cy, cell_px, n_cell_rows_pad,
-    parity_split=False, inv_leaf=0.0,
+    parity_split=False, voxel_leaf_static=0.0, with_votes=False,
 ):
+    from trackdlo_tpu.ops.preprocess import (
+        voxel_floor_keys, voxel_parity_bits,
+    )
+
     def kernel(
         r_ref, g_ref, b_ref, depth_ref, occ_ref, colbin_ref,
-        sx_ref, sy_ref, sz_ref, cnt_ref,
+        sx_ref, sy_ref, sz_ref, cnt_ref, *vote_refs,
     ):
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -81,8 +85,6 @@ def _make_kernel(
             jax.lax.broadcasted_iota(jnp.int32, (rows, width), 0)
             + i * ROW_BLOCK
         ).astype(jnp.float32)
-        x3 = (us - cx) * z / fx
-        y3 = (vs - cy) * z / fy
 
         # Per-block row-binning matrix: A[c, r] = 1 iff absolute row
         # i*ROW_BLOCK + r falls in cell row c.
@@ -162,6 +164,8 @@ def _make_kernel(
             sy_ref[:] = jnp.zeros_like(sy_ref)
             sz_ref[:] = jnp.zeros_like(sz_ref)
             cnt_ref[:] = jnp.zeros_like(cnt_ref)
+            for vr in vote_refs:
+                vr[:] = jnp.zeros_like(vr)
 
         # Runtime tile skip: a 64x256 tile with no masked pixel contributes
         # exactly zero to every cell sum, and a thin rope leaves most of the
@@ -178,6 +182,21 @@ def _make_kernel(
                 sy_ref[:] += sy
                 sz_ref[:] += sz
                 cnt_ref[:] += cnt
+                if with_votes:
+                    # Pool per-pixel voxel floor VOTES (integer-valued f32;
+                    # the bf16-split binning sums integers < 2^24 exactly in
+                    # any order, so these match the XLA pooling bit-for-bit
+                    # — the determinism the coarse snap keys need).
+                    fkx, fky, fkz = voxel_floor_keys(
+                        us, vs,
+                        depth_ref[:].astype(jnp.int32).astype(jnp.float32),
+                        fx, fy, cx, cy, voxel_leaf_static,
+                    )
+                    for vr, fk in zip(vote_refs, (fkx, fky, fkz)):
+                        col = _passes(
+                            _split3(fk * maskf), colbin_bf, left=False
+                        )
+                        vr[:] += _passes(_split3(col), rowbin_bf, left=True)
 
         else:
 
@@ -187,9 +206,12 @@ def _make_kernel(
                 # a cell straddling a voxel boundary splits into per-voxel
                 # candidates, making the downstream snap exactly PCL VoxelGrid
                 # (see ops/preprocess.preprocess_frame parity_split).
-                par_x = jnp.floor(x3 * inv_leaf).astype(jnp.int32) & 1
-                par_y = jnp.floor(y3 * inv_leaf).astype(jnp.int32) & 1
-                par_z = jnp.floor(z * inv_leaf).astype(jnp.int32) & 1
+                # Shared BIT-PINNED spec with the XLA twin (integer-mm z,
+                # multiply-only x/y) — see preprocess.voxel_parity_bits.
+                par_x, par_y, par_z = voxel_parity_bits(
+                    us, vs, depth_ref[:].astype(jnp.int32).astype(jnp.float32),
+                    fx, fy, cx, cy, voxel_leaf_static,
+                )
                 for ci in range(8):
                     bx, by, bz = (ci >> 2) & 1, (ci >> 1) & 1, ci & 1
                     ch = (
@@ -218,7 +240,7 @@ def _make_kernel(
     jax.jit,
     static_argnames=(
         "fx", "fy", "cx", "cy", "hsv_lower", "hsv_upper", "multi_color_dlo",
-        "cell_px", "interpret", "parity_split", "voxel_leaf",
+        "cell_px", "interpret", "parity_split", "voxel_leaf", "with_votes",
     ),
 )
 def cell_sums_pallas(
@@ -236,10 +258,16 @@ def cell_sums_pallas(
     interpret: bool = False,
     parity_split: bool = False,
     voxel_leaf: float | None = None,
+    with_votes: bool = False,
 ):
     """Returns (cells (C, 3) float32 centroids, counts (C,)) matching
     ops.preprocess cell pooling, C = cell grid (x8 channels when
-    ``parity_split``; see ops/preprocess.preprocess_frame)."""
+    ``parity_split``; see ops/preprocess.preprocess_frame).
+
+    ``with_votes`` (single-channel mode with ``voxel_leaf``): additionally
+    pools per-pixel voxel floor votes and returns a third value — key_sums
+    (C, 3) — for the deterministic coarse snap
+    (ops/preprocess.pack_vote_keys)."""
     h, w = depth.shape
     # Same packed-count bound as preprocess_frame: downstream compact_cells
     # packs per-cell counts into 14 key bits (advisor r3 finding).
@@ -272,11 +300,16 @@ def cell_sums_pallas(
     colbin_np[cols, cols // cell_px] = 1.0
     colbin = jnp.asarray(colbin_np)
 
+    if with_votes:
+        assert not parity_split and voxel_leaf is not None, (
+            "votes are for the single-channel two-stage mode"
+        )
     kernel = _make_kernel(
         tuple(hsv_lower), tuple(hsv_upper), multi_color_dlo,
         fx, fy, cx, cy, cell_px, n_cell_rows_pad,
         parity_split=parity_split,
-        inv_leaf=(1.0 / voxel_leaf) if parity_split else 0.0,
+        voxel_leaf_static=voxel_leaf if (parity_split or with_votes) else 0.0,
+        with_votes=with_votes,
     )
     grid = (h_pad // ROW_BLOCK, w_pad // COL_BLOCK)
     block = lambda: pl.BlockSpec(
@@ -288,6 +321,7 @@ def cell_sums_pallas(
     else:
         out_block = (n_cell_rows_pad, n_cell_cols_pad)
         out_index = lambda i, j: (0, 0)
+    n_out = 7 if with_votes else 4
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -301,12 +335,12 @@ def cell_sums_pallas(
         ],
         out_specs=[
             pl.BlockSpec(out_block, out_index, memory_space=pltpu.VMEM)
-        ] * 4,
-        out_shape=[jax.ShapeDtypeStruct(out_block, jnp.float32)] * 4,
+        ] * n_out,
+        out_shape=[jax.ShapeDtypeStruct(out_block, jnp.float32)] * n_out,
         interpret=interpret,
     )(r, g, b, d, occ, colbin)
 
-    sx, sy, sz, cnt = outs
+    sx, sy, sz, cnt = outs[:4]
     if parity_split:
         # Channel-major flattening matching the XLA path's concatenation
         # order (ops/preprocess.preprocess_frame parity loop).
@@ -316,4 +350,7 @@ def cell_sums_pallas(
     sx, sy, sz, cnt = trim(sx), trim(sy), trim(sz), trim(cnt)
     denom = jnp.maximum(cnt, 1.0)
     cells = jnp.stack([sx / denom, sy / denom, sz / denom], axis=1)
+    if with_votes:
+        key_sums = jnp.stack([trim(a) for a in outs[4:]], axis=1)
+        return cells, cnt, key_sums
     return cells, cnt

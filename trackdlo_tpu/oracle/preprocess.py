@@ -83,33 +83,57 @@ def apply_occlusion_mask(mask: np.ndarray, occlusion_mask: np.ndarray | None) ->
 
 
 def deproject(
-    mask: np.ndarray, depth: np.ndarray, fx: float, fy: float, cx: float, cy: float
-) -> np.ndarray:
+    mask: np.ndarray, depth: np.ndarray, fx: float, fy: float, cx: float,
+    cy: float, return_z_mm: bool = False,
+):
     """Pinhole deprojection of masked pixels (trackdlo_node.cpp:195-233).
 
     ``depth`` is uint16 millimetres. Pixels with zero depth deproject to the
     origin and are kept, exactly like the reference (they are later removed by
     the EM's 0.1 m prune, trackdlo.cpp:177-195).
+
+    With ``return_z_mm`` also returns the raw integer-mm depth per point, for
+    the exact-mm voxel keys of :func:`voxel_downsample`.
     """
     vs, us = np.nonzero(mask)
-    z = depth[vs, us].astype(np.float64) / 1000.0
+    z_mm = depth[vs, us]
+    z = z_mm.astype(np.float64) / 1000.0
     x = (us.astype(np.float64) - cx) * z / fx
     y = (vs.astype(np.float64) - cy) * z / fy
-    return np.stack([x, y, z], axis=1)
+    pts = np.stack([x, y, z], axis=1)
+    if return_z_mm:
+        return pts, z_mm
+    return pts
 
 
-def voxel_downsample(points: np.ndarray, leaf_size: float) -> np.ndarray:
+def voxel_downsample(
+    points: np.ndarray, leaf_size: float, z_mm: np.ndarray | None = None
+) -> np.ndarray:
     """Centroid-per-voxel downsampling (PCL VoxelGrid, trackdlo_node.cpp:236-241).
 
     Points are binned by floor(p / leaf) per axis; each occupied voxel emits
     the centroid of its points. Output order follows the voxel key sort; the
     EM is invariant to point order.
+
+    ``z_mm``: optional per-point integer-mm depths. When given and the leaf
+    is an integral number of millimetres, the z-axis voxel key is computed in
+    the exact integer domain — floor(depth_mm / leaf_mm), true mathematics —
+    matching the TPU pipeline's bit-pinned spec
+    (ops/preprocess.voxel_parity_bits) so mm-quantized depths sitting exactly
+    on voxel boundaries cannot flip between f32 and f64 paths. (PCL's own f32
+    chain is rounding-chain-dependent at those knife edges; the integer spec
+    is the chain-independent floor.)
     """
     if len(points) == 0:
         return points.reshape(0, 3)
     # PCL stores clouds in float32; quantize to match.
     pts = points.astype(np.float32).astype(np.float64)
     keys = np.floor(pts / leaf_size).astype(np.int64)
+    if z_mm is not None:
+        leaf_mm = leaf_size * 1000.0
+        leaf_mm_i = int(round(leaf_mm))
+        if leaf_mm_i > 0 and abs(leaf_mm - leaf_mm_i) < 1e-6:
+            keys[:, 2] = np.asarray(z_mm, np.int64) // leaf_mm_i
     order = np.lexsort((keys[:, 2], keys[:, 1], keys[:, 0]))
     keys_sorted = keys[order]
     pts_sorted = pts[order]
@@ -132,5 +156,8 @@ def preprocess_frame(
     """Full per-frame preprocessing chain → X (N×3) (trackdlo_node.cpp:155-243)."""
     mask = segment_dlo(rgb, params.hsv_lower, params.hsv_upper, params.multi_color_dlo)
     mask = apply_occlusion_mask(mask, occlusion_mask)
-    pts = deproject(mask, depth, intrinsics.fx, intrinsics.fy, intrinsics.cx, intrinsics.cy)
-    return voxel_downsample(pts, params.downsample_leaf_size)
+    pts, z_mm = deproject(
+        mask, depth, intrinsics.fx, intrinsics.fy, intrinsics.cx,
+        intrinsics.cy, return_z_mm=True,
+    )
+    return voxel_downsample(pts, params.downsample_leaf_size, z_mm=z_mm)
