@@ -19,7 +19,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -54,13 +53,14 @@ def _hsv_mask_block(r, g, b, lower, upper, multi_color):
 def _make_kernel(
     lower, upper, multi_color, fx, fy, cx, cy, cell_px, n_cell_rows_pad,
     parity_split=False, voxel_leaf_static=0.0, with_votes=False,
+    n_cell_cols_pad=128, img_width=1280,
 ):
     from trackdlo_tpu.ops.preprocess import (
         voxel_floor_keys, voxel_parity_bits,
     )
 
     def kernel(
-        r_ref, g_ref, b_ref, depth_ref, occ_ref, colbin_ref,
+        r_ref, g_ref, b_ref, depth_ref, occ_ref,
         sx_ref, sy_ref, sz_ref, cnt_ref, *vote_refs,
     ):
         i = pl.program_id(0)
@@ -92,6 +92,21 @@ def _make_kernel(
         r_ids = jax.lax.broadcasted_iota(jnp.int32, (n_cell_rows_pad, rows), 1)
         abs_row = r_ids + i * ROW_BLOCK
         rowbin = (abs_row // cell_px == c_ids).astype(jnp.float32)
+
+        # Per-block column-binning matrix, built in-kernel from iota exactly
+        # like rowbin (r4): the host-side (w_pad, n_cols) f32 constant was
+        # re-fetched from HBM for EVERY tile (block index (j, 0) changes each
+        # grid step) — ~7.9 MB/frame of traffic, more than the frame itself.
+        # colbin[col, c] = 1 iff absolute column j*COL_BLOCK + col is in cell
+        # column c (zero for image-padding columns).
+        cc_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (width, n_cell_cols_pad), 1
+        )
+        col_ids = (
+            jax.lax.broadcasted_iota(jnp.int32, (width, n_cell_cols_pad), 0)
+            + j * COL_BLOCK
+        )
+        colbin_blk = (col_ids // cell_px == cc_ids) & (col_ids < img_width)
 
         # Mosaic's f32 dot_general rounds operands through bf16 MXU passes —
         # measured 0.4 mm mean / 2.9 mm max centroid error on v5e with plain
@@ -135,7 +150,7 @@ def _make_kernel(
                 out = term if out is None else out + term
             return out
 
-        colbin_bf = colbin_ref[:].astype(jnp.bfloat16)
+        colbin_bf = colbin_blk.astype(jnp.bfloat16)
         rowbin_bf = rowbin.astype(jnp.bfloat16)
         # Row-binning weighted by the WITHIN-BLOCK row index (integer < 64:
         # bf16-exact); the absolute-row offset is added via the plain sum.
@@ -212,14 +227,12 @@ def _make_kernel(
                     us, vs, depth_ref[:].astype(jnp.int32).astype(jnp.float32),
                     fx, fy, cx, cy, voxel_leaf_static,
                 )
+                # One packed channel index, then one compare per channel —
+                # halves the per-pixel indicator work vs three compares +
+                # three multiplies per channel (r4).
+                ch_idx = par_x * 4 + par_y * 2 + par_z
                 for ci in range(8):
-                    bx, by, bz = (ci >> 2) & 1, (ci >> 1) & 1, ci & 1
-                    ch = (
-                        maskf
-                        * (par_x == bx).astype(jnp.float32)
-                        * (par_y == by).astype(jnp.float32)
-                        * (par_z == bz).astype(jnp.float32)
-                    )
+                    ch = maskf * (ch_idx == ci).astype(jnp.float32)
 
                     # Runtime channel skip: a live block's rope pixels span
                     # only the parity channels its local voxel neighbourhood
@@ -293,13 +306,6 @@ def cell_sums_pallas(
         occlusion_mask.astype(jnp.uint8)
     )
 
-    # Column-binning constant: colbin[j, j // cell] = 1 (zero rows for the
-    # width padding — padded pixels are mask-excluded anyway via depth=0).
-    cols = np.arange(w)
-    colbin_np = np.zeros((w_pad, n_cell_cols_pad), np.float32)
-    colbin_np[cols, cols // cell_px] = 1.0
-    colbin = jnp.asarray(colbin_np)
-
     if with_votes:
         assert not parity_split and voxel_leaf is not None, (
             "votes are for the single-channel two-stage mode"
@@ -310,6 +316,8 @@ def cell_sums_pallas(
         parity_split=parity_split,
         voxel_leaf_static=voxel_leaf if (parity_split or with_votes) else 0.0,
         with_votes=with_votes,
+        n_cell_cols_pad=n_cell_cols_pad,
+        img_width=w,
     )
     grid = (h_pad // ROW_BLOCK, w_pad // COL_BLOCK)
     block = lambda: pl.BlockSpec(
@@ -325,20 +333,13 @@ def cell_sums_pallas(
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            block(), block(), block(), block(), block(),
-            pl.BlockSpec(
-                (COL_BLOCK, n_cell_cols_pad),
-                lambda i, j: (j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=[block(), block(), block(), block(), block()],
         out_specs=[
             pl.BlockSpec(out_block, out_index, memory_space=pltpu.VMEM)
         ] * n_out,
         out_shape=[jax.ShapeDtypeStruct(out_block, jnp.float32)] * n_out,
         interpret=interpret,
-    )(r, g, b, d, occ, colbin)
+    )(r, g, b, d, occ)
 
     sx, sy, sz, cnt = outs[:4]
     if parity_split:
