@@ -485,3 +485,62 @@ class TestVoxelParityBits:
             interpret=True, parity_split=True, voxel_leaf=leaf,
         )
         assert int(jnp.sum(got_counts)) > 0
+
+
+class TestOnehotCompaction:
+    def test_onehot_pack_matches_sort_bitwise(self):
+        """The one-hot matmul compaction (r4) must reproduce the sort-based
+        parity compaction BIT-IDENTICALLY (each output slot is an exact copy
+        of one cell; the bf16 one-hot dot sums exactly one split product per
+        element)."""
+        import numpy as np
+        from trackdlo_tpu.config import CameraIntrinsics, live_params
+        from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
+        from trackdlo_tpu.ops.preprocess import compact_cells, default_cell_px
+        from trackdlo_tpu.ops.preprocess_kernel import cell_sums_pallas
+
+        params = live_params()
+        intr = CameraIntrinsics()
+        rope = SyntheticRope()
+        rgb, depth = render_frame(rope, 1 / 15.0, intr)
+        cell = default_cell_px(params.downsample_leaf_size, intr.fx)
+        occ = jnp.ones((intr.height, intr.width), bool)
+        leaf = params.downsample_leaf_size
+        cells8, counts8 = cell_sums_pallas(
+            jnp.asarray(rgb), jnp.asarray(depth), occ,
+            intr.fx, intr.fy, intr.cx, intr.cy,
+            params.hsv_lower, params.hsv_upper, False, cell,
+            interpret=True, parity_split=True, voxel_leaf=leaf,
+        )
+        cap = params.candidate_cap()
+        a = compact_cells(cells8, counts8, params.max_points, leaf,
+                          candidate_cap=cap, n_channels=8,
+                          use_onehot_compact=False)
+        b = compact_cells(cells8, counts8, params.max_points, leaf,
+                          candidate_cap=cap, n_channels=8,
+                          use_onehot_compact=True)
+        assert int(a.count) == int(b.count)
+        np.testing.assert_array_equal(np.asarray(a.points), np.asarray(b.points))
+        np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+
+    def test_onehot_pack_overflow_thinning(self):
+        """Channel overflow (more kept cells than cap slots) must thin with
+        the same stride selection in both paths."""
+        import numpy as np
+        from trackdlo_tpu.ops.preprocess import compact_cells
+
+        rng = np.random.default_rng(3)
+        n_ch, n_per = 8, 512
+        counts = (rng.uniform(0, 1, (n_ch * n_per,)) < 0.5).astype(np.float32)
+        counts *= rng.integers(1, 40, n_ch * n_per)
+        cells = rng.uniform(-0.5, 0.5, (n_ch * n_per, 3)).astype(np.float32)
+        cells[:, 2] += 0.65
+        cap = 256 * 8  # 256 slots/channel << ~256 kept/channel average
+        a = compact_cells(jnp.asarray(cells), jnp.asarray(counts), 4096,
+                          0.008, candidate_cap=cap, n_channels=8,
+                          use_onehot_compact=False)
+        b = compact_cells(jnp.asarray(cells), jnp.asarray(counts), 4096,
+                          0.008, candidate_cap=cap, n_channels=8,
+                          use_onehot_compact=True)
+        assert int(a.count) == int(b.count)
+        np.testing.assert_array_equal(np.asarray(a.points), np.asarray(b.points))

@@ -116,7 +116,19 @@ int tdlo_deproject_downsample(const uint8_t* mask, const uint16_t* depth,
       double y = (float)((v - cy) * z / fy);
       int64_t ix = (int64_t)std::floor(x * inv_leaf);
       int64_t iy = (int64_t)std::floor(y * inv_leaf);
-      int64_t iz = (int64_t)std::floor(z * inv_leaf);
+      // z-axis voxel key in the exact integer-mm domain when the leaf is an
+      // integral number of millimetres (r4 bit-pinned spec shared with the
+      // oracle and the TPU paths — ops/preprocess.voxel_parity_bits): depth
+      // is u16 mm, so floor(depth_mm / leaf_mm) is exact mathematics and
+      // never flips on mm-quantized knife edges.
+      const double leaf_mm = leaf * 1000.0;
+      const int64_t leaf_mm_i = (int64_t)std::llround(leaf_mm);
+      int64_t iz;
+      if (leaf_mm_i > 0 && std::abs(leaf_mm - (double)leaf_mm_i) < 1e-6) {
+        iz = (int64_t)d / leaf_mm_i;
+      } else {
+        iz = (int64_t)std::floor(z * inv_leaf);
+      }
       uint64_t key = ((uint64_t)(ix & 0x1FFFFF) << 42) |
                      ((uint64_t)(iy & 0x1FFFFF) << 21) |
                      (uint64_t)(iz & 0x1FFFFF);

@@ -527,6 +527,7 @@ def compact_cells(
     candidate_cap: int = 4096,
     n_channels: int = 1,
     key_sums: jnp.ndarray | None = None,
+    use_onehot_compact: bool | None = None,
 ) -> PointCloud:
     """Compact cell centroids into the fixed-capacity point set, optionally
     snapping to voxel bins (shared tail of the XLA and Pallas front ends).
@@ -579,35 +580,66 @@ def compact_cells(
             )
         else:
             kept = vch
-        # Fold the count into the key's low bits (counts are pixel counts
-        # <= cell_px^2 << 2^14, exact in f32) so the compaction sort carries
-        # 4 operands instead of 5. Kept-cell keys stay uniquely ordered by
-        # cell index, so the output is bit-identical to the 5-operand sort;
-        # measured ~0.03 ms/frame faster and far more run-to-run stable on
-        # v5e (perf/compact_ab.py). Needs n_per << 14 to fit int31 — true
-        # for any realistic cell grid (<= ~37k cells/channel).
-        cnt_bits = 14
-        assert n_per < (1 << (31 - cnt_bits)), "cell grid too large for packed keys"
-        idx = jnp.arange(n_per, dtype=jnp.int32)[None, :]
-        cnt_ch = resh(counts)
-        keys = (jnp.where(kept, idx, n_per) << cnt_bits) | jnp.minimum(
-            cnt_ch, float((1 << cnt_bits) - 1)
-        ).astype(jnp.int32)
-        key_s, x_s, y_s, z_s = jax.lax.sort(
-            (keys, resh(cells[:, 0]), resh(cells[:, 1]), resh(cells[:, 2])),
-            num_keys=1,
+        use_onehot = (
+            use_onehot_compact
+            if use_onehot_compact is not None
+            else jax.default_backend() == "tpu"
         )
-        kk = key_s[:, :cap_per]
-        valid_ch = (kk >> cnt_bits) < n_per
-        cnt_s = (kk & ((1 << cnt_bits) - 1)).astype(jnp.float32)
+        if use_onehot:
+            # One-hot matmul pack (r4): compaction is a fixed permutation
+            # once ranks are known; the Pallas kernel builds the one-hot
+            # in-register and packs on the MXU — bit-identical to the sort
+            # below (each slot is an exact copy of one cell), but the
+            # length-dominated (C, n_per) sort (~85 us at 7722) is gone.
+            from trackdlo_tpu.ops.preprocess_kernel import (
+                compact_onehot_pallas,
+            )
+
+            cells3 = jnp.stack(
+                [resh(cells[:, 0]), resh(cells[:, 1]), resh(cells[:, 2])],
+                axis=-1,
+            )
+            pts_ch, cnt_pk, valid_ch = compact_onehot_pallas(
+                cells3, resh(counts), kept, cap_per,
+                interpret=jax.default_backend() != "tpu",
+            )
+            cnt_s = cnt_pk
+            x_s = pts_ch[..., 0]
+            y_s = pts_ch[..., 1]
+            z_s = pts_ch[..., 2]
+        else:
+            # Fold the count into the key's low bits (counts are pixel
+            # counts <= cell_px^2 << 2^14, exact in f32) so the compaction
+            # sort carries 4 operands instead of 5. Kept-cell keys stay
+            # uniquely ordered by cell index, so the output is bit-identical
+            # to the 5-operand sort; measured ~0.03 ms/frame faster and far
+            # more run-to-run stable on v5e (perf/compact_ab.py). Needs
+            # n_per << 14 to fit int31 — true for any realistic cell grid
+            # (<= ~37k cells/channel).
+            cnt_bits = 14
+            assert n_per < (1 << (31 - cnt_bits)), (
+                "cell grid too large for packed keys"
+            )
+            idx = jnp.arange(n_per, dtype=jnp.int32)[None, :]
+            cnt_ch = resh(counts)
+            keys = (jnp.where(kept, idx, n_per) << cnt_bits) | jnp.minimum(
+                cnt_ch, float((1 << cnt_bits) - 1)
+            ).astype(jnp.int32)
+            key_s, x_s, y_s, z_s = jax.lax.sort(
+                (keys, resh(cells[:, 0]), resh(cells[:, 1]),
+                 resh(cells[:, 2])),
+                num_keys=1,
+            )
+            kk = key_s[:, :cap_per]
+            valid_ch = (kk >> cnt_bits) < n_per
+            cnt_s = (kk & ((1 << cnt_bits) - 1)).astype(jnp.float32)
+            x_s, y_s, z_s = (a[:, :cap_per] for a in (x_s, y_s, z_s))
         valid = valid_ch.reshape(-1)
         cap = cap_per * n_channels
         if voxel_leaf is not None:
             # Channel-batched snap: voxel duplicates are channel-local under
             # the parity split, so the merge sort rides the batch dimension.
-            pts_ch = jnp.stack(
-                [a[:, :cap_per] for a in (x_s, y_s, z_s)], axis=-1
-            )
+            pts_ch = jnp.stack([x_s, y_s, z_s], axis=-1)
             w_ch = jnp.where(valid_ch, cnt_s, 0.0)
             # Channel-major parity convention shared by preprocess_frame's
             # pooling loop and the Pallas kernel: index = bx·4 + by·2 + bz.
@@ -628,7 +660,7 @@ def compact_cells(
                 points=points, mask=valid,
                 count=jnp.sum(valid.astype(jnp.int32)),
             )
-        x_s, y_s, z_s = (a[:, :cap_per].reshape(-1) for a in (x_s, y_s, z_s))
+        x_s, y_s, z_s = (a.reshape(-1) for a in (x_s, y_s, z_s))
         cnt_s = cnt_s.reshape(-1)
         points = jnp.stack([x_s, y_s, z_s], axis=1)
         points = jnp.where(valid[:, None], points, 0.0)

@@ -355,3 +355,133 @@ def cell_sums_pallas(
         key_sums = jnp.stack([trim(a) for a in outs[4:]], axis=1)
         return cells, cnt, key_sums
     return cells, cnt
+
+
+# ---------------------------------------------------------------------------
+# One-hot matmul compaction (r4).
+#
+# The parity path's (8, n_per) compaction sort is LENGTH-dominated (~85 us
+# at n_per=7722; operand count barely matters — perf/compact_experiments).
+# But compaction is a fixed PERMUTATION once each kept cell's rank is known,
+# and a permutation is a one-hot matmul: out[r, :] = sum_i [rank_i == r] *
+# data[i, :]. Ranks come from one exact int cumsum in XLA; the kernel builds
+# the one-hot tile from iota compares in-register (never materialized to
+# HBM) and accumulates on the MXU. The one-hot operand is 0/1 (bf16-exact)
+# and each output element is a sum of exactly ONE product, so the pack is
+# BIT-EXACT in f32 despite the bf16 lowering — data rides as 3-way-split
+# bf16 pieces (the established exact decomposition, see _split3 above).
+# Dead tiles (no kept cell — most of the grid for a rope) skip at runtime.
+# ---------------------------------------------------------------------------
+
+
+def _compact_onehot_kernel(cap_per, n_lanes, kernel_body_consts, rank_ref,
+                           data_ref, flag_ref, out_ref):
+    del kernel_body_consts
+    c = pl.program_id(0)
+    t = pl.program_id(1)
+    tile = rank_ref.shape[1]
+
+    # The output block tracks c (one (cap_per, lanes) slab per channel), so
+    # zero it on each channel's FIRST tile, not only on the first grid step.
+    @pl.when(t == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(flag_ref[0, 0] > 0)
+    def _pack():
+        ranks = rank_ref[:]  # (1, tile) int32; >= cap_per for dropped
+        rows = jax.lax.broadcasted_iota(jnp.int32, (cap_per, tile), 0)
+        onehot = (rows == ranks).astype(jnp.bfloat16)  # (cap_per, tile)
+        contrib = jax.lax.dot_general(
+            onehot, data_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # (cap_per, n_lanes)
+        out_ref[0] += contrib
+
+
+def compact_onehot_pallas(
+    cells: jnp.ndarray,  # (C, n_per, 3) f32, channel-major
+    counts: jnp.ndarray,  # (C, n_per) f32
+    kept: jnp.ndarray,  # (C, n_per) bool — valid AND under-cap (pre-thinned)
+    cap_per: int,
+    tile: int = 512,
+    interpret: bool = False,
+):
+    """Pack each channel's kept cells into its first ``cap_per`` output
+    slots, in ascending cell order — bit-identical to the compaction sort's
+    (key, x, y, z, cnt) output, at MXU speed.
+
+    Returns (points (C, cap_per, 3), cnt (C, cap_per), valid (C, cap_per)).
+    """
+    c_ch, n_per = counts.shape
+    n_pad = _round_up(n_per, tile)
+    n_tiles = n_pad // tile
+
+    ki = kept.astype(jnp.int32)
+    rank = jnp.cumsum(ki, axis=1) - ki  # exclusive rank among kept
+    rank = jnp.where(kept & (rank < cap_per), rank, jnp.int32(2**30))
+    n_kept = jnp.minimum(jnp.sum(ki, axis=1), cap_per)  # (C,)
+
+    # Data lanes: [x y z cnt] x [hi mid lo] = 12 bf16 lanes (3-way exact
+    # split; see _split3 — sums of one product each reassemble exactly).
+    def split3(a):
+        hi = a.astype(jnp.bfloat16)
+        r1 = a - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, mid, lo
+
+    quantities = [cells[..., 0], cells[..., 1], cells[..., 2], counts]
+    pieces = []
+    for q in quantities:
+        pieces.extend(split3(q))
+    data = jnp.stack(pieces, axis=-1)  # (C, n_per, 12) bf16
+    n_lanes = 16  # 12 used lanes, padded for layout
+    rank_p = jnp.full((c_ch, n_pad), 2**30, jnp.int32).at[:, :n_per].set(rank)
+    data_p = jnp.zeros((c_ch, n_pad, n_lanes), jnp.bfloat16).at[
+        :, :n_per, : data.shape[-1]
+    ].set(data)
+    # Per-(channel, tile) liveness flags, laid out (C*T, 8, 128) so each
+    # grid step reads its own (8, 128) block (the estep flag pattern).
+    live = jnp.max(
+        (rank_p < cap_per).astype(jnp.float32).reshape(c_ch, n_tiles, tile),
+        axis=2,
+    )  # (C, T)
+    flags = jnp.broadcast_to(
+        live.reshape(c_ch * n_tiles, 1, 1), (c_ch * n_tiles, 8, 128)
+    ).reshape(c_ch * n_tiles * 8, 128)
+
+    out = pl.pallas_call(
+        functools.partial(_compact_onehot_kernel, cap_per, n_lanes, None),
+        grid=(c_ch, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda c, t: (c, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, n_lanes), lambda c, t: (c, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda c, t: (c * pl.num_programs(1) + t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cap_per, n_lanes), lambda c, t: (c, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c_ch, cap_per, n_lanes), jnp.float32),
+        interpret=interpret,
+    )(rank_p, data_p, flags)
+
+    # Reassemble each quantity from its hi+mid+lo piece lanes (each output
+    # element is a sum of one product per piece — exact f32).
+    x = out[..., 0] + out[..., 1] + out[..., 2]
+    y = out[..., 3] + out[..., 4] + out[..., 5]
+    z = out[..., 6] + out[..., 7] + out[..., 8]
+    cnt = out[..., 9] + out[..., 10] + out[..., 11]
+    points = jnp.stack([x, y, z], axis=-1)  # (C, cap_per, 3)
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (c_ch, cap_per), 1)
+        < n_kept[:, None]
+    )
+    points = jnp.where(valid[..., None], points, 0.0)
+    cnt = jnp.where(valid, cnt, 0.0)
+    return points, cnt, valid
