@@ -180,6 +180,7 @@ def main():
             def _init():
                 acc_ref[:] = jnp.zeros_like(acc_ref)
 
+            # Full-block accumulates only (Mosaic rejects scalar stores).
             if with_mask:
                 r = r_ref[:].astype(jnp.int32).astype(jnp.float32)
                 g = g_ref[:].astype(jnp.int32).astype(jnp.float32)
@@ -192,7 +193,7 @@ def main():
 
                 @pl.when(live)
                 def _acc():
-                    acc_ref[0, 0] += jnp.sum(m.astype(jnp.float32))
+                    acc_ref[:] = acc_ref[:] + jnp.sum(m.astype(jnp.float32))
             else:
                 s = (
                     jnp.sum(r_ref[:].astype(jnp.int32))
@@ -201,7 +202,7 @@ def main():
                     + jnp.sum(d_ref[:].astype(jnp.int32))
                     + jnp.sum(o_ref[:].astype(jnp.int32))
                 )
-                acc_ref[0, 0] += s.astype(jnp.float32)
+                acc_ref[:] = acc_ref[:] + s.astype(jnp.float32)
 
         def call(r, g, b, d, o):
             return pl.pallas_call(

@@ -374,30 +374,37 @@ def cell_sums_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _compact_onehot_kernel(cap_per, n_lanes, kernel_body_consts, rank_ref,
-                           data_ref, flag_ref, out_ref):
-    del kernel_body_consts
-    c = pl.program_id(0)
-    t = pl.program_id(1)
-    tile = rank_ref.shape[1]
+def _compact_onehot_kernel(cap_per, n_lanes, c_ch, rank_ref, data_ref,
+                           flag_ref, out_ref):
+    t = pl.program_id(0)
+    tile = rank_ref.shape[2]
 
-    # The output block tracks c (one (cap_per, lanes) slab per channel), so
-    # zero it on each channel's FIRST tile, not only on the first grid step.
     @pl.when(t == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    # One grid step per TILE, all channels via ONE batched dot: a (C, T)
+    # grid paid a fixed per-step cost x128 that swamped the actual work
+    # (measured as slow as the sort it replaced), and a per-channel Python
+    # loop blew scoped VMEM (8 live one-hot temporaries).
     @pl.when(flag_ref[0, 0] > 0)
     def _pack():
-        ranks = rank_ref[:]  # (1, tile) int32; >= cap_per for dropped
-        rows = jax.lax.broadcasted_iota(jnp.int32, (cap_per, tile), 0)
-        onehot = (rows == ranks).astype(jnp.bfloat16)  # (cap_per, tile)
+        # rank block is (C, 8, tile) (sublane-broadcast on the host so the
+        # block shape is Mosaic-legal); row 0 carries the ranks.
+        ranks = rank_ref[:, 0:1, :]  # (C, 1, tile); >= cap_per for dropped
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (ranks.shape[0], cap_per, tile), 1
+        )
+        onehot = (rows == ranks).astype(jnp.bfloat16)  # (C, cap_per, tile)
         contrib = jax.lax.dot_general(
-            onehot, data_ref[0], (((1,), (0,)), ((), ())),
+            onehot, data_ref[:],
+            (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
-        )  # (cap_per, n_lanes)
-        out_ref[0] += contrib
+        )  # (C, cap_per, n_lanes)
+        # Full-block accumulate (Mosaic rejects partial-index stores to
+        # VMEM — the "no scalar stores" pitfall class, CLAUDE.md).
+        out_ref[:] += contrib
 
 
 def compact_onehot_pallas(
@@ -405,12 +412,15 @@ def compact_onehot_pallas(
     counts: jnp.ndarray,  # (C, n_per) f32
     kept: jnp.ndarray,  # (C, n_per) bool — valid AND under-cap (pre-thinned)
     cap_per: int,
-    tile: int = 512,
+    tile: int = 1024,
     interpret: bool = False,
 ):
     """Pack each channel's kept cells into its first ``cap_per`` output
     slots, in ascending cell order — bit-identical to the compaction sort's
     (key, x, y, z, cnt) output, at MXU speed.
+
+    tile=1024 measured best on v5e (fixed per-grid-step cost dominates at
+    512; scoped VMEM blows past 2048 with the batched one-hot).
 
     Returns (points (C, cap_per, 3), cnt (C, cap_per), valid (C, cap_per)).
     """
@@ -439,37 +449,42 @@ def compact_onehot_pallas(
     data = jnp.stack(pieces, axis=-1)  # (C, n_per, 12) bf16
     n_lanes = 16  # 12 used lanes, padded for layout
     rank_p = jnp.full((c_ch, n_pad), 2**30, jnp.int32).at[:, :n_per].set(rank)
+    # Sublane-broadcast so the rank block is (1, 8, tile) — Mosaic requires
+    # the last two block dims divisible by (8, 128) or equal to the array's.
+    rank_b = jnp.broadcast_to(rank_p[:, None, :], (c_ch, 8, n_pad))
     data_p = jnp.zeros((c_ch, n_pad, n_lanes), jnp.bfloat16).at[
         :, :n_per, : data.shape[-1]
     ].set(data)
-    # Per-(channel, tile) liveness flags, laid out (C*T, 8, 128) so each
-    # grid step reads its own (8, 128) block (the estep flag pattern).
+    # Per-TILE liveness flags (any channel, any kept cell), laid out
+    # (T, 8, 128) so each grid step reads its own (8, 128) block (the estep
+    # flag pattern). Rope cells cluster spatially, so most tiles are dead
+    # across ALL channels at once.
     live = jnp.max(
         (rank_p < cap_per).astype(jnp.float32).reshape(c_ch, n_tiles, tile),
-        axis=2,
-    )  # (C, T)
+        axis=(0, 2),
+    )  # (T,)
     flags = jnp.broadcast_to(
-        live.reshape(c_ch * n_tiles, 1, 1), (c_ch * n_tiles, 8, 128)
-    ).reshape(c_ch * n_tiles * 8, 128)
+        live.reshape(n_tiles, 1, 1), (n_tiles, 8, 128)
+    ).reshape(n_tiles * 8, 128)
 
     out = pl.pallas_call(
-        functools.partial(_compact_onehot_kernel, cap_per, n_lanes, None),
-        grid=(c_ch, n_tiles),
+        functools.partial(_compact_onehot_kernel, cap_per, n_lanes, c_ch),
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, tile), lambda c, t: (c, t),
+            pl.BlockSpec((c_ch, 8, tile), lambda t: (0, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, n_lanes), lambda c, t: (c, t, 0),
+            pl.BlockSpec((c_ch, tile, n_lanes), lambda t: (0, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda c, t: (c * pl.num_programs(1) + t, 0),
+            pl.BlockSpec((8, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, cap_per, n_lanes), lambda c, t: (c, 0, 0),
+            (c_ch, cap_per, n_lanes), lambda t: (0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((c_ch, cap_per, n_lanes), jnp.float32),
         interpret=interpret,
-    )(rank_p, data_p, flags)
+    )(rank_b, data_p, flags)
 
     # Reassemble each quantity from its hi+mid+lo piece lanes (each output
     # element is a sum of one product per piece — exact f32).
