@@ -24,6 +24,7 @@ centroids unpolluted.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -519,6 +520,81 @@ def compact_cells_segsum(
     return PointCloud(points=points, mask=valid, count=jnp.sum(valid.astype(jnp.int32)))
 
 
+def _compact_channels_sort(cells3, counts, kept, cap_per):
+    """Packed-key batched compaction sort (the pre-r4 parity back end).
+
+    ``cells3`` (C, n_per, 3), ``counts``/``kept`` (C, n_per) → each channel's
+    kept cells packed into its first ``cap_per`` slots in ascending cell
+    order. The count rides the key's low 14 bits (counts <= cell_px^2 are
+    guarded exact by preprocess_frame's assert), so the sort carries 4
+    operands; kept-cell keys stay uniquely ordered by cell index, making the
+    output bit-identical to the 5-operand sort (perf/compact_ab.py).
+    Channels (and any folded-in stream batch) ride the TPU sort's batch
+    dimension on sublanes. Returns (points (C, cap_per, 3), cnt, valid)."""
+    c_ch, n_per = counts.shape
+    cnt_bits = 14
+    assert n_per < (1 << (31 - cnt_bits)), "cell grid too large for packed keys"
+    idx = jnp.arange(n_per, dtype=jnp.int32)[None, :]
+    keys = (jnp.where(kept, idx, n_per) << cnt_bits) | jnp.minimum(
+        counts, float((1 << cnt_bits) - 1)
+    ).astype(jnp.int32)
+    key_s, x_s, y_s, z_s = jax.lax.sort(
+        (keys, cells3[..., 0], cells3[..., 1], cells3[..., 2]), num_keys=1
+    )
+    kk = key_s[:, :cap_per]
+    valid = (kk >> cnt_bits) < n_per
+    cnt = (kk & ((1 << cnt_bits) - 1)).astype(jnp.float32)
+    pts = jnp.stack(
+        [x_s[:, :cap_per], y_s[:, :cap_per], z_s[:, :cap_per]], axis=-1
+    )
+    return pts, cnt, valid
+
+
+@functools.lru_cache(maxsize=None)
+def _parity_compact_dispatch(cap_per: int, on_tpu: bool):
+    """Batch-aware parity-compaction dispatch (r4).
+
+    Unbatched (the single-stream hot path) routes to the one-hot MXU pack —
+    ~64 us vs the sort's ~86 on v5e. Under ``jax.vmap`` (multi-stream
+    batching) the one-hot kernel's grid gains a batch dimension whose
+    per-grid-step fixed cost swamps the work (measured 1333 us/frame at b8
+    vs the sort's 248 — perf/onehot_b8_probe.json), while the sort folds the
+    stream axis into its sublane batch almost for free; so the vmap rule
+    routes to the sort. Both back ends are bit-identical on valid slots
+    (TestOnehotCompaction); invalid slots are masked by every consumer
+    (the voxel snap weights them 0), as shipped throughout round 3."""
+
+    @jax.custom_batching.custom_vmap
+    def compact(cells3, counts, kept):
+        if on_tpu:
+            from trackdlo_tpu.ops.preprocess_kernel import compact_onehot_pallas
+
+            return compact_onehot_pallas(cells3, counts, kept, cap_per)
+        return _compact_channels_sort(cells3, counts, kept, cap_per)
+
+    @compact.def_vmap
+    def _rule(axis_size, in_batched, cells3, counts, kept):
+        cells3, counts, kept = (
+            a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+            for a, b in zip((cells3, counts, kept), in_batched)
+        )
+        lead = counts.shape[:-2]
+        c_ch, n_per = counts.shape[-2:]
+        pts, cnt, valid = _compact_channels_sort(
+            cells3.reshape(-1, n_per, 3),
+            counts.reshape(-1, n_per),
+            kept.reshape(-1, n_per),
+            cap_per,
+        )
+        return (
+            pts.reshape(lead + (c_ch, cap_per, 3)),
+            cnt.reshape(lead + (c_ch, cap_per)),
+            valid.reshape(lead + (c_ch, cap_per)),
+        ), (True, True, True)
+
+    return compact
+
+
 def compact_cells(
     cells: jnp.ndarray,
     counts: jnp.ndarray,
@@ -580,60 +656,37 @@ def compact_cells(
             )
         else:
             kept = vch
-        use_onehot = (
-            use_onehot_compact
-            if use_onehot_compact is not None
-            else jax.default_backend() == "tpu"
+        cells3 = jnp.stack(
+            [resh(cells[:, 0]), resh(cells[:, 1]), resh(cells[:, 2])],
+            axis=-1,
         )
-        if use_onehot:
-            # One-hot matmul pack (r4): compaction is a fixed permutation
-            # once ranks are known; the Pallas kernel builds the one-hot
-            # in-register and packs on the MXU — bit-identical to the sort
-            # below (each slot is an exact copy of one cell), but the
-            # length-dominated (C, n_per) sort (~85 us at 7722) is gone.
+        if use_onehot_compact is None:
+            # Batch-aware dispatch: one-hot MXU pack unbatched, sort under
+            # vmap (see _parity_compact_dispatch).
+            pts_ch, cnt_s, valid_ch = _parity_compact_dispatch(
+                cap_per, jax.default_backend() == "tpu"
+            )(cells3, resh(counts), kept)
+        elif use_onehot_compact:
+            # Forced one-hot matmul pack (r4): compaction is a fixed
+            # permutation once ranks are known; the Pallas kernel builds the
+            # one-hot in-register and packs on the MXU — bit-identical to
+            # the sort (each slot is an exact copy of one cell). Tests force
+            # this path on CPU (interpret mode).
             from trackdlo_tpu.ops.preprocess_kernel import (
                 compact_onehot_pallas,
             )
 
-            cells3 = jnp.stack(
-                [resh(cells[:, 0]), resh(cells[:, 1]), resh(cells[:, 2])],
-                axis=-1,
-            )
-            pts_ch, cnt_pk, valid_ch = compact_onehot_pallas(
+            pts_ch, cnt_s, valid_ch = compact_onehot_pallas(
                 cells3, resh(counts), kept, cap_per,
                 interpret=jax.default_backend() != "tpu",
             )
-            cnt_s = cnt_pk
-            x_s = pts_ch[..., 0]
-            y_s = pts_ch[..., 1]
-            z_s = pts_ch[..., 2]
         else:
-            # Fold the count into the key's low bits (counts are pixel
-            # counts <= cell_px^2 << 2^14, exact in f32) so the compaction
-            # sort carries 4 operands instead of 5. Kept-cell keys stay
-            # uniquely ordered by cell index, so the output is bit-identical
-            # to the 5-operand sort; measured ~0.03 ms/frame faster and far
-            # more run-to-run stable on v5e (perf/compact_ab.py). Needs
-            # n_per << 14 to fit int31 — true for any realistic cell grid
-            # (<= ~37k cells/channel).
-            cnt_bits = 14
-            assert n_per < (1 << (31 - cnt_bits)), (
-                "cell grid too large for packed keys"
+            pts_ch, cnt_s, valid_ch = _compact_channels_sort(
+                cells3, resh(counts), kept, cap_per
             )
-            idx = jnp.arange(n_per, dtype=jnp.int32)[None, :]
-            cnt_ch = resh(counts)
-            keys = (jnp.where(kept, idx, n_per) << cnt_bits) | jnp.minimum(
-                cnt_ch, float((1 << cnt_bits) - 1)
-            ).astype(jnp.int32)
-            key_s, x_s, y_s, z_s = jax.lax.sort(
-                (keys, resh(cells[:, 0]), resh(cells[:, 1]),
-                 resh(cells[:, 2])),
-                num_keys=1,
-            )
-            kk = key_s[:, :cap_per]
-            valid_ch = (kk >> cnt_bits) < n_per
-            cnt_s = (kk & ((1 << cnt_bits) - 1)).astype(jnp.float32)
-            x_s, y_s, z_s = (a[:, :cap_per] for a in (x_s, y_s, z_s))
+        x_s = pts_ch[..., 0]
+        y_s = pts_ch[..., 1]
+        z_s = pts_ch[..., 2]
         valid = valid_ch.reshape(-1)
         cap = cap_per * n_channels
         if voxel_leaf is not None:
