@@ -204,6 +204,7 @@ def cpd_lle(
     visible_count: jnp.ndarray | None = None,
     axis_name: str | None = None,
     point_min_sq: jnp.ndarray | None = None,
+    return_deltas: bool = False,
 ) -> CpdResult:
     """EM registration of the (masked) node chain to the (masked) point set.
 
@@ -238,6 +239,7 @@ def cpd_lle(
         return _cpd_lle_impl(
             x, x_mask, y, node_mask, sigma2, params, prior_pos, prior_mask,
             visible_count, axis_name, point_min_sq,
+            return_deltas=return_deltas,
         )
 
 
@@ -253,6 +255,7 @@ def _cpd_lle_impl(
     visible_count: jnp.ndarray | None = None,
     axis_name: str | None = None,
     point_min_sq: jnp.ndarray | None = None,
+    return_deltas: bool = False,
 ) -> CpdResult:
     dtype = y.dtype
     m = y.shape[0]
@@ -400,6 +403,12 @@ def _cpd_lle_impl(
             # rank cutoff is at eps_f64 and never bites — rcond≈0 IS the
             # faithful f32 realization. See docs/ALGORITHM.md (lstsq note).
             return jnp.linalg.lstsq(a_mat, b_mat, rcond=1e-12)[0]
+        if params.solver == "xla_lu":
+            # Diagnostic solver: force XLA's LU even where _solve_lu would
+            # route to the Pallas Gauss-Jordan kernel (isolates M-step-solver
+            # noise from E-step-kernel noise in trip-count studies,
+            # perf/preem_noise_probe.py).
+            return jnp.linalg.solve(a_mat, b_mat)
         if params.solver != "lu":
             raise ValueError(f"unknown solver {params.solver!r}")
         return _solve_lu(a_mat, b_mat)
@@ -597,6 +606,28 @@ def _cpd_lle_impl(
         done = delta < params.tol
         converged = done | (it + 1 < params.max_iter)
         return t, s2_new, it + 1, done, converged
+
+    if return_deltas:
+        # Debug mode: run ALL max_iter iterations unconditionally (no early
+        # stop) and record each iteration's convergence metric — exposes the
+        # noise floor the tolerance loop stalls on. Output y differs from the
+        # while-loop result by construction; diagnosis only.
+        def scan_body(carry, _):
+            y_cur, s2 = carry
+            t, s2_new, delta = iteration(y_cur, s2)
+            return (t, s2_new), delta
+
+        (y_fin, s2_fin), deltas = jax.lax.scan(
+            scan_body, (y, sigma2), None, length=params.max_iter
+        )
+        any_points = n_count > 0
+        res = CpdResult(
+            y=jnp.where(any_points, y_fin, y),
+            sigma2=jnp.where(any_points, s2_fin, sigma2),
+            converged=jnp.asarray(True),
+            iterations=jnp.asarray(params.max_iter, jnp.int32),
+        )
+        return res, deltas
 
     init = (y, sigma2, jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(True))
     y_out, s2_out, iters, _, converged = jax.lax.while_loop(cond, body, init)

@@ -1049,20 +1049,42 @@ def _batched_gj_kernel(ab_ref, w_ref, inv_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "refine"))
-def gauss_jordan_solve_batched(a, b, interpret: bool = False, refine: bool = True):
+def gauss_jordan_solve_batched(a, b, interpret: bool = False, refine: int = 3):
     """(B, m, m) @ w = (B, m, k) for all B systems in one kernel.
 
-    ``refine``: one step of iterative refinement (w += A^-1 (b - A w) with
-    the in-kernel inverse, residual at f32-faithful precision). Takes the
-    f32 solve from ~5e-5 to ~1e-7 absolute error on the EM's M-step systems
-    — below the reference's tolerance floor, so tolerance-based EM loops
-    converge by the true dynamics instead of stalling on solver noise
-    (the f64 COD of trackdlo.cpp:415 never had this problem; f32 LU does)."""
+    ``refine``: number of iterative-refinement steps (w += A^-1 (b - A w)
+    with the in-kernel inverse, residual at f32-faithful precision; False/0
+    disables). Each step contracts the forward error by ~cond(A)·u_f32 —
+    ~3× on the worst EM M-step systems (cond ~4e6 in the collapsed-σ²
+    pre-registration pass) — so THREE steps are needed to push the
+    per-iteration Y noise below the reference's tolerance (measured on a
+    stalling frame: tail delta 3.8e-4 / 1.3e-4 / 0.9e-4 for 1/2/3 steps vs
+    tol 2e-4, perf/preem_noise_probe.py); on benign systems one step
+    already reaches ~1e-7 absolute. Tolerance-based EM loops then converge
+    by the true dynamics instead of stalling on solver noise (the f64 COD
+    of trackdlo.cpp:415 never had this problem; f32 solvers do). Cost: two
+    (m,m)@(m,k) HIGHEST-precision matmuls per step — O(µs) against the
+    ~20 µs EM iterations each stalled trip would burn.
+
+    Rows are equilibrated by powers of two before elimination (r4): the
+    pre-registration M-step's row scales span ~7 decades once sigma2
+    collapses (A = diag(p1)·G + sigma2(...) with p1 ~ 1e-5..1e2), and
+    partial pivoting alone then loses ~3 digits — enough per-iteration Y
+    noise (~1e-3) to stall the tolerance loop at max_iter where f64 needs
+    ~6 trips (perf/preem_noise_probe.py: ship tail delta 9.7e-4 vs XLA
+    LU's 1.0e-4 vs tol 2e-4). Power-of-two scaling is EXACT (exponent-only;
+    solution algebraically identical), and the refinement residual uses the
+    unscaled system. The kernel's inverse is then (E^-1 A)^-1 = A^-1 E, so
+    the refinement correction is inv @ (r / e)."""
     bsz, m, k = b.shape
     m_pad = _round_up(m, 8)
     k_pad = 4 if k <= 4 else _round_up(k, 4)
+    d = jnp.max(jnp.abs(a), axis=2, keepdims=True)  # (B, m, 1)
+    e = jnp.exp2(jnp.ceil(jnp.log2(jnp.where(d > 0, d, 1.0))))
+    a_s = a / e
+    b_s = b / e
     ab = jnp.zeros((bsz, m_pad, 2 * m_pad + k_pad), jnp.float32)
-    ab = ab.at[:, :m, :m].set(a)
+    ab = ab.at[:, :m, :m].set(a_s)
     # Identity rows for padded equations keep the elimination well-posed.
     pad_iota = jnp.arange(m_pad)
     eye_pad = (pad_iota[:, None] == pad_iota[None, :]).astype(jnp.float32)
@@ -1070,7 +1092,7 @@ def gauss_jordan_solve_batched(a, b, interpret: bool = False, refine: bool = Tru
         jnp.where(pad_iota[:, None] >= m, eye_pad, 0.0)
     )
     ab = ab.at[:, :, m_pad:2 * m_pad].set(eye_pad)
-    ab = ab.at[:, :m, 2 * m_pad:2 * m_pad + k].set(b)
+    ab = ab.at[:, :m, 2 * m_pad:2 * m_pad + k].set(b_s)
     w1, inv = pl.pallas_call(
         _batched_gj_kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -1084,12 +1106,12 @@ def gauss_jordan_solve_batched(a, b, interpret: bool = False, refine: bool = Tru
         ],
         interpret=interpret,
     )(ab)
-    w1 = w1[:, :m, :k]
-    if not refine:
-        return w1
+    w = w1[:, :m, :k]
     hp = jax.lax.Precision.HIGHEST
-    r = b - jnp.matmul(a, w1, precision=hp)
-    return w1 + jnp.matmul(inv[:, :m, :m], r, precision=hp)
+    for _ in range(int(refine)):
+        r = (b - jnp.matmul(a, w, precision=hp)) / e
+        w = w + jnp.matmul(inv[:, :m, :m], r, precision=hp)
+    return w
 
 
 # ---------------------------------------------------------------------------
