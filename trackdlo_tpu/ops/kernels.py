@@ -58,11 +58,21 @@ def chain_lle_weights(y: jnp.ndarray, node_mask: jnp.ndarray, k: int = 6) -> jnp
     """LLE reconstruction weights over the chain, batched over nodes.
 
     TPU-native form of calc_LLE_weights (trackdlo.cpp:119-158): every node
-    solves its (2k'+1)-slot regularized Gram system in one batched
-    `jnp.linalg.solve`, with chain-truncated neighbourhoods expressed as slot
-    masks (the reference's get_nearest_indices truncation,
-    trackdlo.cpp:92-117). The eps-diagonal regularization is applied
-    unconditionally (see oracle.lle.calc_lle_weights for why).
+    solves its (2k'+1)-slot regularized Gram system, with chain-truncated
+    neighbourhoods expressed as slot masks (the reference's
+    get_nearest_indices truncation, trackdlo.cpp:92-117). The eps-diagonal
+    regularization is applied unconditionally (see oracle.lle.calc_lle_weights
+    for why).
+
+    The (M, width, width) systems are solved by an UNROLLED vectorized
+    Gauss-Jordan (``width`` static elimination steps, parallel over the M
+    batch) — ``jnp.linalg.solve`` on a small-matrix batch is batch-SEQUENTIAL
+    LU on TPU and cost ~110 us/frame here, ~3x this formulation
+    (perf/preem_fixed_probe.py; max |dW| vs LU 2.6e-6). Diagonal pivoting is
+    stable: the Gram is PSD + 1e-5·I, and deactivated slots are identity
+    rows. Neighbour rows come from `jnp.roll` (static slices; wrapped slots
+    are masked) and W is assembled from constant k-diagonal eyes — TPU
+    gathers/scatters are far slower than either (CLAUDE.md).
 
     ``node_mask`` marks the valid prefix for subset (guide-node) chains;
     invalid rows produce zero weights.
@@ -79,6 +89,7 @@ def _chain_lle_weights_impl(y: jnp.ndarray, node_mask: jnp.ndarray, k: int) -> j
     valid_count = jnp.sum(node_mask.astype(jnp.int32))
 
     idx = jnp.arange(m)
+    off_vals = list(range(-half, half + 1))
     offsets = jnp.arange(width) - half  # [-half .. half]
     neigh_idx_raw = idx[:, None] + offsets[None, :]  # (M, width)
     # The reference's three truncation cases (trackdlo.cpp:94-114) unify to
@@ -88,9 +99,9 @@ def _chain_lle_weights_impl(y: jnp.ndarray, node_mask: jnp.ndarray, k: int) -> j
         & (neigh_idx_raw < valid_count)
         & (neigh_idx_raw != idx[:, None])
     )
-    neigh_idx = jnp.clip(neigh_idx_raw, 0, m - 1)
 
-    neigh = y[neigh_idx]  # (M, width, 3)
+    # neigh[i, oi] = y[i + o]; rolled wrap-around lands only in masked slots.
+    neigh = jnp.stack([jnp.roll(y, -o, axis=0) for o in off_vals], axis=1)
     offsets_vec = y[:, None, :] - neigh  # xi - neighbours
     offsets_vec = jnp.where(slot_mask[:, :, None], offsets_vec, 0.0)
 
@@ -102,17 +113,24 @@ def _chain_lle_weights_impl(y: jnp.ndarray, node_mask: jnp.ndarray, k: int) -> j
     gram = jnp.where(pair_mask, gram, eye_w[None, :, :])
     gram = gram + 1e-5 * eye_w[None, :, :]
 
-    ones = slot_mask.astype(y.dtype)[:, :, None]  # (M, width, 1)
-    sol = jnp.linalg.solve(gram, ones)[:, :, 0]  # Gi^{-1} @ 1
+    # sol = Gi^{-1} @ 1 via unrolled Gauss-Jordan on the augmented system.
+    b = slot_mask.astype(y.dtype)[:, :, None]
+    a = jnp.concatenate([gram, b], axis=2)  # (M, width, width+1)
+    for j in range(width):
+        piv = a[:, j : j + 1, j : j + 1]
+        row = a[:, j : j + 1, :] / piv
+        col = a[:, :, j : j + 1]
+        a = a - col * row
+        a = a.at[:, j, :].set(row[:, 0, :])
+    sol = a[:, :, width]
     denom = jnp.sum(sol * slot_mask, axis=1, keepdims=True)
     wi = jnp.where(slot_mask, sol / jnp.where(denom == 0, 1.0, denom), 0.0)
 
-    # Scatter window weights into the (M, M) matrix.
+    # W[i, i+o] = wi[i, oi]: place each window column on its k-diagonal
+    # (compile-time eye constants; no scatter).
     w = jnp.zeros((m, m), y.dtype)
-    rows = jnp.broadcast_to(idx[:, None], (m, width))
-    w = w.at[rows.ravel(), neigh_idx.ravel()].add(
-        jnp.where(slot_mask, wi, 0.0).ravel(), mode="drop"
-    )
+    for oi, o in enumerate(off_vals):
+        w = w + wi[:, oi, None] * jnp.eye(m, k=o, dtype=y.dtype)
     w = jnp.where(node_mask[:, None], w, 0.0)
     return w
 
