@@ -39,8 +39,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from trackdlo_tpu.config import TrackerParams, live_params
-    from trackdlo_tpu.io.sequence import SyntheticSequence
+    jax.config.update("jax_compilation_cache_dir", "/tmp/trackdlo_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from trackdlo_tpu.config import CameraIntrinsics, live_params
+    from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
     from trackdlo_tpu.ops.preprocess import (
         _cap_snapped,
         _compact_channels_sort,
@@ -54,12 +57,11 @@ def main():
     )
 
     params = live_params()
-    seq = SyntheticSequence(params=params)
-    intr = seq.intrinsics
-    frame = seq.frame(7)
-    rgbj = jnp.asarray(frame.rgb)
-    depthj = jnp.asarray(frame.depth)
-    occ = jnp.ones(frame.depth.shape, bool)
+    intr = CameraIntrinsics()
+    rope = SyntheticRope()
+    rgb, depth = render_frame(rope, 2 / 15.0, intr)
+    rgbj, depthj = jnp.asarray(rgb), jnp.asarray(depth)
+    occ = jnp.ones((intr.height, intr.width), bool)
     leaf = params.downsample_leaf_size
     cell = params.downsample_cell_px or default_cell_px(leaf, intr.fx)
     cap = params.candidate_cap()

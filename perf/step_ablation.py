@@ -11,18 +11,23 @@ fusion context:
 Each non-full mode removes exactly ONE stage from the no_pre tail (except
 skeleton, which removes priors AND main_em), so:
 
-    preprocess = full - no_pre          (pc precomputed outside the loop)
-    pre_em     = no_pre - no_preem      (guide nodes = masked state.y)
-    priors     = no_pre - no_priors     (priors = guide nodes passthrough)
-    main_em    = no_priors - skeleton   (y' = guide nodes)
-    vis+plumb  = skeleton - pre_em      (skeleton still runs pre_em)
+    preprocess  = full - no_pre          (pc precomputed outside the loop)
+    pre_em      = no_pre - no_preem      (guide nodes = masked state.y)
+    priors      = no_pre - no_priors     (priors = guide nodes passthrough)
+    main_em+vis = no_preem - priors      (remainder of the no_preem tail)
 
-Cross-check: the five attributions must sum to ~full (they did to 0.1% on
-the first TPU run: 230+424+99+73-21 = 805 vs full 804.5).
+Cross-check: preprocess + pre_em + priors + main_em+vis = full exactly
+(the remainder construction makes it an identity).
 
-Caveat: each ablation changes the state trajectory slightly (the rope moves
-slowly, all variants keep tracking), so attributions are estimates good to
-~10-20 us, not exact accounting.
+Caveat: each ablation changes the state trajectory (the rope moves slowly,
+all variants keep tracking), so attributions are estimates good to ~10-20
+us, not exact accounting. POST-SOLVER-FIX this matters structurally: trip
+counts are data-dependent and healthy, so a variant with a degraded
+trajectory runs systematically more pre-EM trips than production. The
+skeleton mode (y' = raw guide nodes) measured ABOVE no_priors for exactly
+that reason (-57 to -187 us main_em subtractions across runs), which is
+why main_em is no longer attributed by skeleton subtraction; skeleton is
+still measured and reported as a diagnostic bound.
 
 Usage (TPU): python perf/step_ablation.py [--batch 1] [--json out.json]
 Mirrors models/trackdlo._track_from_points — keep the stage wiring in sync.
@@ -103,7 +108,13 @@ def build_variant(params, intr, cell_px, mode):
             prior_pos, prior_mask = pr.prior_pos, pr.prior_mask
         if mode == "skeleton":
             new_y = jnp.where(guide_node_mask[:, None], guide_nodes, state.y)
-            return state._replace(y=new_y)
+            # Persist the pre-EM's converged sigma2: leaving state.sigma2
+            # frozen at its cold init forces cold-start trip counts into
+            # EVERY frame's pre-EM (~25+ trips vs the warm ~7), inflating
+            # the skeleton mode by ~180 us/frame and driving the main_em
+            # attribution negative (post-solver-fix r4 finding; pre-fix the
+            # pre-EM stalled near max_iter in all modes, hiding this).
+            return state._replace(y=new_y, sigma2=pre.sigma2)
         main = cpd_lle(
             pts, msk, state.y, jnp.ones((m,), bool), state.sigma2,
             CpdParams(
@@ -242,8 +253,16 @@ def main():
         "preprocess": results[f"full_b{b}"] - results[f"no_pre_b{b}"],
         "pre_em": pre_em,
         "priors": results[f"no_pre_b{b}"] - results[f"no_priors_b{b}"],
-        "main_em": results[f"no_priors_b{b}"] - results[f"skeleton_b{b}"],
-        "vis+plumbing": results[f"skeleton_b{b}"] - pre_em,
+        # main_em + vis as a REMAINDER, not skeleton subtraction: with the
+        # r4 solver fix, EM trip counts are data-dependent and healthy, so
+        # the skeleton variant's degraded trajectory (y' = raw guide nodes,
+        # sigma2 from the pre-EM) runs systematically MORE pre-EM trips
+        # than the tracked no_priors trajectory — enough to exceed the main
+        # EM's own cost and drive the subtraction negative (measured -57 to
+        # -187 us across runs). The remainder charges main_em+vis with any
+        # shared-staging overlap instead, which is the honest bound.
+        "main_em+vis": results[f"no_preem_b{b}"]
+        - (results[f"no_pre_b{b}"] - results[f"no_priors_b{b}"]),
     }
     for k, v in att.items():
         results[f"attr_{k}_b{b}"] = round(v, 4)
