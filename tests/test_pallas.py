@@ -392,6 +392,37 @@ class TestParitySplitPreprocess:
         d = np.linalg.norm(gp[:, None] - rp[None], axis=2).min(1)
         assert d.max() < 1e-5
 
+    def test_stacked_channels_bit_identical(self):
+        """The channel-stacked binning variant (a measured perf negative,
+        kept as a documented A/B — see preprocess_kernel) must stay
+        BIT-identical to the shipped per-channel path."""
+        import numpy as np
+        from trackdlo_tpu.config import CameraIntrinsics, live_params
+        from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
+        from trackdlo_tpu.ops.preprocess import default_cell_px
+        from trackdlo_tpu.ops.preprocess_kernel import cell_sums_pallas
+
+        params = live_params()
+        intr = CameraIntrinsics()
+        rope = SyntheticRope()
+        cell = default_cell_px(params.downsample_leaf_size, intr.fx)
+        rgb, depth = render_frame(rope, 1 / 15.0, intr)
+        occ = jnp.ones((intr.height, intr.width), bool)
+        args = (
+            jnp.asarray(rgb), jnp.asarray(depth), occ,
+            intr.fx, intr.fy, intr.cx, intr.cy,
+            params.hsv_lower, params.hsv_upper, False, cell,
+        )
+        kw = dict(
+            interpret=True, parity_split=True,
+            voxel_leaf=params.downsample_leaf_size,
+        )
+        c0, n0 = cell_sums_pallas(*args, stacked_channels=False, **kw)
+        c1, n1 = cell_sums_pallas(*args, stacked_channels=True, **kw)
+        assert np.array_equal(np.asarray(n0), np.asarray(n1))
+        assert np.array_equal(np.asarray(c0), np.asarray(c1))
+        assert int(np.asarray(n0 > 0).sum()) > 100  # non-trivial frame
+
     def test_parity_split_tracker_tracks(self):
         import dataclasses
 

@@ -53,7 +53,7 @@ def _hsv_mask_block(r, g, b, lower, upper, multi_color):
 def _make_kernel(
     lower, upper, multi_color, fx, fy, cx, cy, cell_px, n_cell_rows_pad,
     parity_split=False, voxel_leaf_static=0.0, with_votes=False,
-    n_cell_cols_pad=128, img_width=1280,
+    n_cell_cols_pad=128, img_width=1280, stacked_channels=True,
 ):
     from trackdlo_tpu.ops.preprocess import (
         voxel_floor_keys, voxel_parity_bits,
@@ -213,7 +213,7 @@ def _make_kernel(
                         )
                         vr[:] += _passes(_split3(col), rowbin_bf, left=True)
 
-        else:
+        elif not stacked_channels:
 
             @pl.when(block_live)
             def _bin_parity():
@@ -246,6 +246,116 @@ def _make_kernel(
                         sz_ref[ci] = sz_ref[ci] + sz
                         cnt_ref[ci] = cnt_ref[ci] + cnt
 
+        else:
+
+            @pl.when(block_live)
+            def _bin_parity_stacked():
+                # Channel-STACKED parity binning — MEASURED NEGATIVE RESULT
+                # (r4, perf/stacked_binning_ab.py): the per-channel loop
+                # above issues ~17 small MXU dots per LIVE CHANNEL (~129
+                # per live tile at the measured 7.6 live channels), so
+                # stacking the channels on a leading batch axis — 17
+                # channel-BATCHED dots per tile — looked like an
+                # instruction-overhead win. It is NOT: 119.3 vs 118.7 µs
+                # compiled (Mosaic lowers the batched dots no better than
+                # the unrolled per-channel dots). Kept in-tree, OFF by
+                # default, as the documented A/B. Outputs are BIT-IDENTICAL
+                # to the per-channel path: ch is 0/1, so split3(q)·ch ==
+                # split3(q·ch) piece by piece, and each batched sub-dot
+                # contracts the same K elements in the same order as its
+                # unbatched twin. Dead channels contribute exact zeros
+                # instead of being skipped.
+                par_x, par_y, par_z = voxel_parity_bits(
+                    us, vs, depth_ref[:].astype(jnp.int32).astype(jnp.float32),
+                    fx, fy, cx, cy, voxel_leaf_static,
+                )
+                ch_idx = par_x * 4 + par_y * 2 + par_z
+
+                # (8, rows, width) stacked channel indicator weights.
+                chm3 = jnp.stack(
+                    [
+                        maskf * (ch_idx == ci).astype(jnp.float32)
+                        for ci in range(8)
+                    ]
+                )
+
+                # Batched binning matrices rebuilt from 3-D iota (same
+                # predicates as colbin_blk/rowbin above; broadcasting the
+                # 2-D ones across a new leading dim is the one Mosaic
+                # broadcast form we avoid on principle).
+                cc3 = jax.lax.broadcasted_iota(
+                    jnp.int32, (8, width, n_cell_cols_pad), 2
+                )
+                col3 = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (8, width, n_cell_cols_pad), 1
+                    )
+                    + j * COL_BLOCK
+                )
+                colbin3 = (
+                    (col3 // cell_px == cc3) & (col3 < img_width)
+                ).astype(jnp.bfloat16)
+                c3 = jax.lax.broadcasted_iota(
+                    jnp.int32, (8, n_cell_rows_pad, rows), 1
+                )
+                r3 = jax.lax.broadcasted_iota(
+                    jnp.int32, (8, n_cell_rows_pad, rows), 2
+                )
+                rowbin3 = ((r3 + i * ROW_BLOCK) // cell_px == c3).astype(
+                    jnp.float32
+                )
+                rowbin3_bf = rowbin3.astype(jnp.bfloat16)
+                rowv3_bf = (rowbin3 * r3.astype(jnp.float32)).astype(
+                    jnp.bfloat16
+                )
+
+                dims_col = (((2,), (1,)), ((0,), (0,)))
+                dims_row = (((2,), (1,)), ((0,), (0,)))
+
+                def _bdot(lhs, rhs, dims):
+                    return jax.lax.dot_general(
+                        lhs, rhs, dims,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )
+
+                def _col_pass(pieces):
+                    out = None
+                    for piece in pieces:
+                        # piece values are bf16-exact; ·chm3 (0/1) keeps
+                        # them bf16-exact, so the cast is lossless.
+                        p3 = (piece.astype(jnp.float32)[None] * chm3).astype(
+                            jnp.bfloat16
+                        )
+                        term = _bdot(p3, colbin3, dims_col)
+                        out = term if out is None else out + term
+                    return out  # (8, rows, n_cell_cols_pad) f32
+
+                def _row_pass(col3_f32, mat_bf):
+                    out = None
+                    for piece in _split3(col3_f32):
+                        term = _bdot(mat_bf, piece, dims_row)
+                        out = term if out is None else out + term
+                    return out  # (8, n_cell_rows_pad, n_cell_cols_pad)
+
+                a_col3 = _col_pass(_split3(z))
+                b_col3 = _col_pass(_split3(uz))
+                # Count data operand is the channel weight itself (cf. the
+                # per-channel path's c_col).
+                c_col3 = _bdot(chm3.astype(jnp.bfloat16), colbin3, dims_col)
+
+                s_z3 = _row_pass(a_col3, rowbin3_bf)
+                s_vz3 = _row_pass(a_col3, rowv3_bf) + (i * ROW_BLOCK) * s_z3
+                s_uz3 = _row_pass(b_col3, rowbin3_bf)
+                cnt3 = _bdot(
+                    rowbin3_bf, c_col3.astype(jnp.bfloat16), dims_row
+                )
+
+                sx_ref[:] += (s_uz3 - cx * s_z3) * (1.0 / fx)
+                sy_ref[:] += (s_vz3 - cy * s_z3) * (1.0 / fy)
+                sz_ref[:] += s_z3
+                cnt_ref[:] += cnt3
+
     return kernel
 
 
@@ -254,6 +364,7 @@ def _make_kernel(
     static_argnames=(
         "fx", "fy", "cx", "cy", "hsv_lower", "hsv_upper", "multi_color_dlo",
         "cell_px", "interpret", "parity_split", "voxel_leaf", "with_votes",
+        "stacked_channels",
     ),
 )
 def cell_sums_pallas(
@@ -272,6 +383,7 @@ def cell_sums_pallas(
     parity_split: bool = False,
     voxel_leaf: float | None = None,
     with_votes: bool = False,
+    stacked_channels: bool = False,
 ):
     """Returns (cells (C, 3) float32 centroids, counts (C,)) matching
     ops.preprocess cell pooling, C = cell grid (x8 channels when
@@ -318,6 +430,7 @@ def cell_sums_pallas(
         with_votes=with_votes,
         n_cell_cols_pad=n_cell_cols_pad,
         img_width=w,
+        stacked_channels=stacked_channels,
     )
     grid = (h_pad // ROW_BLOCK, w_pad // COL_BLOCK)
     block = lambda: pl.BlockSpec(
