@@ -179,9 +179,12 @@ class TestFusedIteration:
         assert err2 < 1e-4, err2
         # ...and behavioural agreement at depth (sigma2 collapse makes deep
         # iterations chaotic wrt f32 evaluation order — same as f32-vs-f64,
-        # see test_cpd_parity).
+        # see test_cpd_parity). The bound is a gross-divergence tripwire,
+        # not a precision claim: the chaotic band itself measured 0.020-0.023
+        # across otherwise-identical builds (r4; the r2 bf16 M-step bug this
+        # guards against produced >0.1).
         err30 = np.abs(np.asarray(run(30, False).y) - np.asarray(run(30, True).y)).max()
-        assert err30 < 2e-2, err30
+        assert err30 < 5e-2, err30
 
 
 class TestFusedVisibility:

@@ -16,6 +16,7 @@ TPU-native redesign of trackdlo::cpd_lle (trackdlo.cpp:161-441):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -87,6 +88,95 @@ def _solve_lu_vmap_rule(axis_size, in_batched, a_mat, b_mat):
     return out, True
 
 
+def _em_while_xla(params, interpret, dyn, y0p, coordp, nmp, gp, hgp, hy0p,
+                  jgp, pdp, xt, xmp):
+    """The per-iteration EM while-loop on pre-padded staging (the twin the
+    whole-EM loop kernel is dispatched against): one fused E-step kernel +
+    one batched-GJ solve per iteration, XLA glue between. This IS the
+    multi-stream product path — under jax.vmap the E-step routes to the
+    row-packed batch kernel and the solve to the batched GJ, so batching
+    costs rows, not kernel replays.
+
+    ``dyn`` (8, 128) broadcast rows: [0]=sigma2, [1]=v_count, [2]=n_safe,
+    [3]=vis_gate. Everything in ``params`` is a trace-time constant.
+    Returns (y (m_pad, 3), sigma2, iterations, converged)."""
+    from trackdlo_tpu.ops.pallas_kernels import (
+        estep_scalars,
+        fused_estep_packed,
+    )
+
+    dtype = y0p.dtype
+    m_pad = y0p.shape[0]
+    sigma2 = dyn[0, 0]
+    v_count = dyn[1, 0]
+    n_safe = dyn[2, 0]
+    gate_f = dyn[3, 0]
+    node_mask_p = nmp[:, 0] > 0
+    pair_mask_p = node_mask_p[:, None] & node_mask_p[None, :]
+    eye_p = jnp.eye(m_pad, dtype=dtype)
+    ones_pv_p = jnp.ones((m_pad, 1), dtype)
+    d = 3
+
+    def iteration(y_cur_p, s2):
+        c_base = (_TWO_PI * s2) ** (d / 2) * params.mu / (1 - params.mu)
+        c = c_base * v_count / n_safe
+        c_vis = c_base / n_safe
+        scalars = estep_scalars(
+            s2, c, c_vis, gate_f, v_count,
+            params.k_vis, params.visibility_threshold, True,
+        )
+        p1p, pxp, scal, _short = fused_estep_packed(
+            scalars, y_cur_p, coordp, nmp, ones_pv_p, xt, xmp,
+            two_phase=True, interpret=interpret,
+        )
+        np_total = scal[0, 0]
+        tr_xtdpt1x = scal[0, 1]
+
+        a_mat = p1p * gp + params.lam * s2 * eye_p
+        b_mat = pxp - p1p * y0p
+        if params.include_lle:
+            a_mat = a_mat + s2 * params.lle_weight * hgp
+            b_mat = b_mat - s2 * params.lle_weight * hy0p
+        if params.use_priors:
+            a_mat = a_mat + params.alpha * jgp
+            b_mat = b_mat + params.alpha * pdp
+        a_mat = jnp.where(pair_mask_p, a_mat, eye_p)
+        b_mat = jnp.where(node_mask_p[:, None], b_mat, 0.0)
+        w = _solve_lu(a_mat, b_mat)
+        t_p = y0p + gp @ w
+
+        tr_pxtt = jnp.sum(pxp * t_p)
+        tr_ttdp1t = jnp.sum(p1p * t_p * t_p)
+        s2_new = (tr_xtdpt1x - 2 * tr_pxtt + tr_ttdp1t) / (np_total * d)
+        s2_new = jnp.maximum(s2_new, 1e-10)
+
+        move = jnp.sum(
+            jnp.where(
+                node_mask_p, jnp.linalg.norm(y_cur_p - t_p, axis=1), 0.0
+            )
+        )
+        delta = move / jnp.maximum(v_count, 1.0)
+        return t_p, s2_new, delta
+
+    def cond(carry):
+        _, _, it, done, _ = carry
+        return (~done) & (it < params.max_iter)
+
+    def body(carry):
+        y_cur_p, s2, it, _, _ = carry
+        t_p, s2_new, delta = iteration(y_cur_p, s2)
+        done = delta < params.tol
+        converged = done | (it + 1 < params.max_iter)
+        return t_p, s2_new, it + 1, done, converged
+
+    init = (
+        y0p, sigma2, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        jnp.asarray(True),
+    )
+    y_p, s2_out, iters, _, converged = jax.lax.while_loop(cond, body, init)
+    return y_p, s2_out, iters, converged
+
+
 @dataclasses.dataclass(frozen=True)
 class CpdParams:
     """Static hyperparameters of one EM pass (trace-time constants)."""
@@ -132,6 +222,77 @@ class CpdParams:
     # The prototype's pure-Euclidean mode skips the geodesic membership
     # rewrite and keeps a single normalization (tracking_test.py:344-383).
     use_geodesic_redistance: bool = True
+
+
+@functools.lru_cache(maxsize=None)
+def _em_loop_dispatch(params, interpret: bool):
+    """Batch-aware EM-loop dispatch (r4).
+
+    Unbatched (the single-stream hot path) runs the ENTIRE tolerance loop in
+    one pallas_call (ops/pallas_kernels.fused_em_loop): zero per-iteration
+    kernel launches or XLA glue — the per-iteration path paid ~21.5 us/EM
+    iteration in-context, ~11 iterations/frame across the two EM passes.
+    Under ``jax.vmap`` (multi-stream batching) an in-kernel while_loop would
+    run every stream to the slowest stream's trip count INSIDE one kernel
+    with no cross-stream amortization win, so the vmap rule keeps the
+    per-iteration path, whose E-step row-packs all streams per kernel and
+    whose GJ solve batches all systems in one elimination (the shipped b8
+    behavior, unchanged)."""
+
+    @jax.custom_batching.custom_vmap
+    def run(dyn, y0p, coordp, nmp, gp, hgp, hy0p, jgp, pdp, xt, xmp):
+        from trackdlo_tpu.ops.pallas_kernels import fused_em_loop
+
+        sigma2 = dyn[0, 0]
+        v_count = dyn[1, 0]
+        n_safe = dyn[2, 0]
+        gate_f = dyn[3, 0]
+        muf = params.mu / (1.0 - params.mu)
+        scal = jnp.broadcast_to(
+            jnp.stack(
+                [
+                    sigma2,
+                    muf * v_count / n_safe,  # kc_v
+                    muf / n_safe,  # kc_n
+                    gate_f,
+                    v_count,
+                    jnp.zeros_like(sigma2),
+                    jnp.zeros_like(sigma2),
+                    jnp.zeros_like(sigma2),
+                ]
+            )[:, None],
+            (8, 128),
+        )
+        y_p, stats = fused_em_loop(
+            scal, y0p, coordp, nmp, gp, hgp, hy0p, jgp, pdp, xt, xmp,
+            k_vis=params.k_vis,
+            tau_vis=params.visibility_threshold,
+            lam=params.lam,
+            coef_lle=params.lle_weight if params.include_lle else 0.0,
+            alpha=params.alpha if params.use_priors else 0.0,
+            tol=params.tol,
+            max_iter=params.max_iter,
+            interpret=interpret,
+        )
+        return (
+            y_p,
+            stats[0, 0],
+            stats[0, 1].astype(jnp.int32),
+            stats[0, 2] > 0,
+        )
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = tuple(
+            a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+            for a, b in zip(args, in_batched)
+        )
+        outs = jax.vmap(
+            lambda *a: _em_while_xla(params, interpret, *a)
+        )(*args)
+        return outs, (True, True, True, True)
+
+    return run
 
 
 class CpdResult(NamedTuple):
@@ -376,6 +537,53 @@ def _cpd_lle_impl(
         pair_mask_p = node_mask_p[:, None] & node_mask_p[None, :]
         ones_pv_p = jnp.ones((m_pad, 1), dtype)
         xt_p, xm_p = pack_points(x, x_mask)
+
+        # Whole-EM loop kernel dispatch (r4): the entire tolerance loop in
+        # one pallas_call unbatched; the per-iteration row-packed path under
+        # vmap (see _em_loop_dispatch). Covers the product configurations
+        # (solver "lu", fused_mstep off); diagnostic solvers and the
+        # return_deltas scan keep the per-iteration loop below.
+        if (
+            axis_name is None
+            and params.solver == "lu"
+            and not params.use_fused_mstep
+            and not return_deltas
+        ):
+            interpret = jax.default_backend() != "tpu"
+            zeros_mm_p = jnp.zeros((m_pad, m_pad), dtype)
+            zeros_m3_p = jnp.zeros((m_pad, 3), dtype)
+            gate_f = jnp.where(vis_gate, 1.0, 0.0).astype(dtype)
+            dyn = jnp.broadcast_to(
+                jnp.stack(
+                    [
+                        jnp.asarray(sigma2, dtype),
+                        v_count.astype(dtype),
+                        n_safe,
+                        gate_f,
+                        jnp.zeros((), dtype),
+                        jnp.zeros((), dtype),
+                        jnp.zeros((), dtype),
+                        jnp.zeros((), dtype),
+                    ]
+                )[:, None],
+                (8, 128),
+            )
+            y_p_out, s2_out, iters, converged = _em_loop_dispatch(
+                params, interpret
+            )(
+                dyn, y0_p, coord_p, nm_p, g_p,
+                hg_p if params.include_lle else zeros_mm_p,
+                hy0_p if params.include_lle else zeros_m3_p,
+                jg_p if params.use_priors else zeros_mm_p,
+                pd_p if params.use_priors else zeros_m3_p,
+                xt_p, xm_p,
+            )
+            any_points = n_count > 0
+            y_out = jnp.where(any_points, y_p_out[:m], y)
+            s2_out = jnp.where(any_points, s2_out, sigma2)
+            return CpdResult(
+                y=y_out, sigma2=s2_out, converged=converged, iterations=iters
+            )
 
     def _solve(a_mat, b_mat):
         if params.solver == "normal_cholesky":

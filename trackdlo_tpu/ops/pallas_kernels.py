@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 _BIG = 1e5
+_TWO_PI = 6.283185307179586
 
 
 def _round_up(v: int, m: int) -> int:
@@ -141,23 +142,16 @@ def _estep_kernel(
         )
 
 
-def _estep_tile(
-    sq, pair, node_mask_col, sigma2, c_plain, c_vis, vis_gate, v_count,
-    k_vis, tau_vis, two_phase,
-    y_ref, coord_ref, p_vis_ref, xt_ref,
-    p1_ref, px_ref, scal_out_ref, short_ref,
-    m_pad,
+def _estep_probabilities(
+    sq, pair, coord, p_vis, sigma2, c_plain, c_vis, vis_gate, v_count, m_pad,
 ):
-    # Visibility prior: derived in-register from the phase-0 minima
-    # (two-phase), or taken from the host-provided p_vis_ref. All math stays
-    # (m_pad, 1)-shaped: Mosaic only lowers sublane-axis reductions here.
-    shortest2 = jnp.sqrt(short_ref[:])  # (m_pad, 1)
-    shortest2 = jnp.where(shortest2 <= tau_vis, 0.0, shortest2)
-    pv2 = jnp.where(node_mask_col > 0, jnp.exp(-k_vis * shortest2), 0.0)
-    total = jnp.sum(pv2, axis=0, keepdims=True)  # (1, 1)
-    pv2 = pv2 / jnp.maximum(total, 1e-30)
-    p_vis = jnp.where(two_phase, pv2[:, 0], p_vis_ref[:, 0])
+    """The pure E-step math on an in-register (m_pad, T) distance block:
+    first normalization → geodesic re-distance → visibility prior → second
+    normalization (trackdlo.cpp:298-383). Returns the final masked P.
 
+    ``coord`` (m_pad,) geodesic coords; ``p_vis`` (m_pad,) normalized
+    visibility weights. Shared by the per-tile streaming kernel
+    (_estep_tile) and the whole-EM loop kernel (_em_loop_kernel)."""
     # First normalization (trackdlo.cpp:298-301).
     p = jnp.exp(-0.5 * sq / sigma2) * pair
     p = p / (jnp.sum(p, axis=0, keepdims=True) + c_plain)
@@ -173,7 +167,6 @@ def _estep_tile(
     hi = jnp.maximum(mp, nxt)
     d_lo = jnp.sqrt(_select_row(sq, lo))
     d_hi = jnp.sqrt(_select_row(sq, hi))
-    coord = coord_ref[:, 0]
     c_lo = _select_row(
         jnp.broadcast_to(coord[:, None], sq.shape), lo
     )
@@ -199,7 +192,30 @@ def _estep_tile(
     c_eff = c_plain + vis_gate * (c_vis - c_plain)
     pt1_den = jnp.sum(p, axis=0, keepdims=True) + c_eff
     p = p / pt1_den
-    p = p * pair
+    return p * pair
+
+
+def _estep_tile(
+    sq, pair, node_mask_col, sigma2, c_plain, c_vis, vis_gate, v_count,
+    k_vis, tau_vis, two_phase,
+    y_ref, coord_ref, p_vis_ref, xt_ref,
+    p1_ref, px_ref, scal_out_ref, short_ref,
+    m_pad,
+):
+    # Visibility prior: derived in-register from the phase-0 minima
+    # (two-phase), or taken from the host-provided p_vis_ref. All math stays
+    # (m_pad, 1)-shaped: Mosaic only lowers sublane-axis reductions here.
+    shortest2 = jnp.sqrt(short_ref[:])  # (m_pad, 1)
+    shortest2 = jnp.where(shortest2 <= tau_vis, 0.0, shortest2)
+    pv2 = jnp.where(node_mask_col > 0, jnp.exp(-k_vis * shortest2), 0.0)
+    total = jnp.sum(pv2, axis=0, keepdims=True)  # (1, 1)
+    pv2 = pv2 / jnp.maximum(total, 1e-30)
+    p_vis = jnp.where(two_phase, pv2[:, 0], p_vis_ref[:, 0])
+
+    p = _estep_probabilities(
+        sq, pair, coord_ref[:, 0], p_vis, sigma2, c_plain, c_vis, vis_gate,
+        v_count, m_pad,
+    )
 
     # M-step reductions (trackdlo.cpp:386-390, 417-421).
     p1_ref[:] += jnp.sum(p, axis=1, keepdims=True)
@@ -1112,6 +1128,331 @@ def gauss_jordan_solve_batched(a, b, interpret: bool = False, refine: int = 3):
         r = (b - jnp.matmul(a, w, precision=hp)) / e
         w = w + jnp.matmul(inv[:, :m, :m], r, precision=hp)
     return w
+
+
+# ---------------------------------------------------------------------------
+# Whole-EM loop kernel (r4).
+#
+# The per-iteration path costs ~21.5 us/EM-iteration in-context: two kernel
+# launches (fused E-step + batched GJ solve) plus the XLA M-step assembly /
+# trace-update glue between them, replayed by a lax.while_loop ~11 times per
+# frame across the two EM passes. This kernel runs the ENTIRE tolerance loop
+# — E-step, M-step assembly, equilibrated Gauss-Jordan solve with iterative
+# refinement, sigma2 trace update, convergence test — inside ONE pallas_call
+# with a jax.lax.while_loop in-kernel: zero per-iteration launches, zero
+# HBM round trips (everything lives in VMEM; at the shipped sizes the full
+# (m_pad, n_pad) affinity block is only ~400 KB).
+#
+# Unbatched single-stream only: under jax.vmap the row-packed per-iteration
+# path already amortizes launches across streams, so the cpd_lle dispatch
+# (custom_vmap) routes batched streams there and single streams here.
+# ---------------------------------------------------------------------------
+
+
+def _exact_dot(a, b):
+    """a @ b with BOTH operands 3-way bf16-split: 9 exact-piece passes with
+    f32 accumulation — immune to Mosaic's bf16 operand rounding regardless
+    of the traced matmul precision. Used where cancellation matters (the
+    refinement residual) and for the node update g @ w."""
+
+    def split3(v):
+        hi = v.astype(jnp.bfloat16)
+        r1 = v - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, mid, lo
+
+    out = None
+    for pa in split3(a):
+        for pb in split3(b):
+            term = jax.lax.dot_general(
+                pa, pb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            out = term if out is None else out + term
+    return out
+
+
+def _gj2d_with_inv(a, b, m_pad, k_pad):
+    """Gauss-Jordan solve of a @ w = b (2-D, single system) returning
+    (w (m_pad, k_pad), inv (m_pad, m_pad)). The _batched_gj_kernel loop with
+    the batch axis dropped: [A | I | B] augmented lanes, one-hot partial
+    pivoting, exact split-piece solution extraction, refinement-grade
+    inverse extraction. ``a`` rows for padded nodes must be identity."""
+    mk = 2 * m_pad + k_pad
+    ab = jnp.concatenate(
+        [a, jnp.eye(m_pad, dtype=jnp.float32), b], axis=1
+    )  # (m_pad, mk)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (m_pad, mk), 1)
+    lane_row = lanes[0:1, :]
+    subl_col = jax.lax.broadcasted_iota(jnp.int32, (m_pad, 1), 0)
+
+    def step(k, carry):
+        ab_c, used, perm, diag = carry
+        onehot_k = (lanes == k).astype(jnp.float32)
+        col = jnp.sum(ab_c * onehot_k, axis=1, keepdims=True)  # (m_pad, 1)
+        cand = jnp.where(used > 0, -1.0, jnp.abs(col))
+        cmax = jnp.max(cand, axis=0, keepdims=True)
+        ridx = jnp.min(
+            jnp.where(cand == cmax, subl_col, m_pad), axis=0, keepdims=True
+        )
+        r_onehot = (subl_col == ridx).astype(jnp.float32)  # (m_pad, 1)
+        pivot_row = jnp.sum(r_onehot * ab_c, axis=0, keepdims=True)
+        pv = jnp.sum(r_onehot * col, axis=0, keepdims=True)
+        pv_safe = jnp.where(pv == 0, 1.0, pv)
+        factor = col / pv_safe * (1.0 - r_onehot)
+        ab_c = ab_c - factor * pivot_row
+        used = used + r_onehot
+        perm = perm + (subl_col == k).astype(jnp.float32) * (
+            lane_row == ridx
+        ).astype(jnp.float32)
+        diag = diag + pv * (subl_col == k).astype(jnp.float32)
+        return ab_c, used, perm, diag
+
+    used0 = jnp.zeros((m_pad, 1), jnp.float32)
+    perm0 = jnp.zeros((m_pad, mk), jnp.float32)
+    diag0 = jnp.zeros((m_pad, 1), jnp.float32)
+    ab_f, _, perm, diag = jax.lax.fori_loop(
+        0, m_pad, step, (ab, used0, perm0, diag0)
+    )
+    diag_safe = jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
+    perm_m = perm[:, :m_pad]
+
+    # Exact solution extraction: perm is 0/1 (bf16-exact), b_f splits into
+    # three exact bf16 pieces (see _batched_gj_kernel).
+    b_f = ab_f[:, 2 * m_pad:]
+    hi = b_f.astype(jnp.bfloat16)
+    r1 = b_f - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    w = None
+    for piece in (hi, mid, lo):
+        term = jax.lax.dot_general(
+            perm_m, piece.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        w = term if w is None else w + term
+    w = w / diag_safe
+
+    i_f = ab_f[:, m_pad:2 * m_pad]
+    inv = jax.lax.dot_general(
+        perm_m, i_f, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return w, inv / diag_safe
+
+
+def _em_loop_kernel(
+    refine,
+    k_vis,
+    tau_vis,
+    lam,
+    coef_lle,
+    alpha,
+    tol,
+    max_iter,
+    scalars_ref,  # (8, 128) broadcast rows, see fused_em_loop
+    y0_ref,  # (m_pad, 3) EM origin (= initial iterate, trackdlo.cpp:925)
+    coord_ref,  # (m_pad, 1)
+    nm_ref,  # (m_pad, 1) f32 0/1
+    g_ref,  # (m_pad, m_pad)
+    hg_ref,  # (m_pad, m_pad) H @ G (zeros when include_lle off)
+    hy0_ref,  # (m_pad, 3)
+    jg_ref,  # (m_pad, m_pad) prior rows of G (zeros when unused)
+    pd_ref,  # (m_pad, 3) prior displacement
+    xt_ref,  # (3, n_pad)
+    xm_ref,  # (1, n_pad) f32 0/1
+    y_out_ref,  # out (m_pad, 3)
+    stats_ref,  # out (1, 8): sigma2, iterations, converged, delta
+):
+    m_pad = y0_ref.shape[0]
+    k_pad = 4
+
+    s2_init = scalars_ref[0, 0]
+    kc_v = scalars_ref[1, 0]  # c_plain = kc_v * (2*pi*s2)^(3/2)
+    kc_n = scalars_ref[2, 0]  # c_vis  = kc_n * (2*pi*s2)^(3/2)
+    vis_gate = scalars_ref[3, 0]
+    v_count = scalars_ref[4, 0].astype(jnp.int32)
+
+    node_mask = nm_ref[:, 0]
+    nm_col = nm_ref[:]
+    x_mask = xm_ref[0, :]
+    pair = node_mask[:, None] * x_mask[None, :]
+    pair_nodes = node_mask[:, None] * node_mask[None, :]
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (m_pad, m_pad), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (m_pad, m_pad), 1)
+    ).astype(jnp.float32)
+    coord = coord_ref[:, 0]
+    y0 = y0_ref[:]
+    g = g_ref[:]
+    xt = xt_ref[:]
+    xsq = jnp.sum(xt * xt, axis=0)  # (n_pad,)
+    vcf = jnp.maximum(v_count.astype(jnp.float32), 1.0)
+
+    def cond(carry):
+        _, _, it, done, _, _ = carry
+        return jnp.logical_and(jnp.logical_not(done), it < max_iter)
+
+    def body(carry):
+        y_cur, s2, it, _, _, _ = carry
+
+        # Per-iteration normalizer constants (trackdlo.cpp:298: the XLA twin
+        # computes (2*pi*s2)^{3/2} via pow; x*sqrt(x) matches to ~1 ulp).
+        tps = _TWO_PI * s2
+        c_core = tps * jnp.sqrt(tps)
+        c_plain = kc_v * c_core
+        c_vis = kc_n * c_core
+
+        sq = jnp.zeros((m_pad, xt.shape[1]), jnp.float32)
+        for d in range(3):
+            diff = y_cur[:, d][:, None] - xt[d, :][None, :]
+            sq += diff * diff
+
+        # Visibility prior from the same in-register distances
+        # (trackdlo.cpp:279-296; the streaming kernel needs a separate
+        # phase-0 sweep for this — here sq is already whole).
+        short = jnp.min(
+            jnp.where(pair > 0, sq, _BIG), axis=1, keepdims=True
+        )  # (m_pad, 1)
+        shortest = jnp.sqrt(short)
+        shortest = jnp.where(shortest <= tau_vis, 0.0, shortest)
+        pv = jnp.where(nm_col > 0, jnp.exp(-k_vis * shortest), 0.0)
+        pv = pv / jnp.maximum(jnp.sum(pv, axis=0, keepdims=True), 1e-30)
+
+        p = _estep_probabilities(
+            sq, pair, coord, pv[:, 0], s2, c_plain, c_vis, vis_gate,
+            v_count, m_pad,
+        )
+
+        p1 = jnp.sum(p, axis=1, keepdims=True)  # (m_pad, 1)
+        px = jax.lax.dot_general(
+            p, xt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (m_pad, 3)
+        pt1 = jnp.sum(p, axis=0)  # (n_pad,)
+        np_total = jnp.sum(pt1)
+        tr_x = jnp.sum(pt1 * xsq)
+
+        # M-step system (trackdlo.cpp:392-415).
+        a = p1 * g + lam * s2 * eye
+        a = a + s2 * coef_lle * hg_ref[:] + alpha * jg_ref[:]
+        b = px - p1 * y0
+        b = b - s2 * coef_lle * hy0_ref[:] + alpha * pd_ref[:]
+        a = jnp.where(pair_nodes > 0, a, eye)
+        b = b * nm_col
+        bp = jnp.concatenate(
+            [b, jnp.zeros((m_pad, k_pad - 3), jnp.float32)], axis=1
+        )
+
+        # Power-of-two row equilibration via exponent bits (exact — see
+        # gauss_jordan_solve_batched; exp2(ceil(log2 d)) up to one factor
+        # of 2, which equilibration does not care about).
+        d_row = jnp.max(jnp.abs(a), axis=1, keepdims=True)
+        d_safe = jnp.where(d_row > 0, d_row, 1.0)
+        ebits = (
+            jax.lax.bitcast_convert_type(d_safe, jnp.int32) >> 23
+        ) & 255
+        e = jax.lax.bitcast_convert_type((ebits + 1) << 23, jnp.float32)
+        w, inv = _gj2d_with_inv(a / e, bp / e, m_pad, k_pad)
+
+        # Iterative refinement at exact-split precision (the residual is a
+        # catastrophic cancellation — Mosaic's bf16 operand rounding in a
+        # plain f32 dot would swamp it; see gauss_jordan_solve_batched).
+        for _ in range(refine):
+            r = (bp - _exact_dot(a, w)) / e
+            w = w + jax.lax.dot_general(
+                inv, r, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        t_new = y0 + _exact_dot(g, w[:, :3])
+        t_new = jnp.where(nm_col > 0, t_new, y0)
+
+        # sigma2 trace update (trackdlo.cpp:417-422).
+        tr_pxt = jnp.sum(px * t_new)
+        tr_tt = jnp.sum(p1 * t_new * t_new)
+        s2_new = (tr_x - 2.0 * tr_pxt + tr_tt) / jnp.maximum(
+            np_total * 3.0, 1e-30
+        )
+        s2_new = jnp.maximum(s2_new, 1e-10)
+
+        # Convergence metric (trackdlo.cpp:424).
+        dm = t_new - y_cur
+        move = jnp.sum(
+            jnp.sqrt(jnp.sum(dm * dm, axis=1, keepdims=True)) * nm_col
+        )
+        delta = move / vcf
+        done = delta < tol
+        converged = jnp.logical_or(done, it + 1 < max_iter)
+        return t_new, s2_new, it + 1, done, converged, delta
+
+    init = (
+        y0, s2_init, jnp.int32(0), False, True, jnp.float32(0.0),
+    )
+    y_fin, s2_fin, iters, _, conv, delta = jax.lax.while_loop(
+        cond, body, init
+    )
+    y_out_ref[:] = y_fin
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    stats = jnp.where(lane8 == 0, s2_fin, 0.0)
+    stats = jnp.where(lane8 == 1, iters.astype(jnp.float32), stats)
+    stats = jnp.where(
+        lane8 == 2, jnp.where(conv, 1.0, 0.0), stats
+    )
+    stats = jnp.where(lane8 == 3, delta, stats)
+    stats_ref[:] = stats
+
+
+def fused_em_loop(
+    scalars,  # (8, 128) broadcast block (see below)
+    y0p,  # (m_pad, 3)
+    coordp,  # (m_pad, 1)
+    nmp,  # (m_pad, 1) f32
+    gp,  # (m_pad, m_pad)
+    hgp,
+    hy0p,
+    jgp,
+    pdp,
+    xt,  # (3, n_pad)
+    xmp,  # (1, n_pad)
+    k_vis: float = 0.0,
+    tau_vis: float = 0.0,
+    lam: float = 1.0,
+    coef_lle: float = 0.0,
+    alpha: float = 0.0,
+    tol: float = 1e-4,
+    max_iter: int = 50,
+    refine: int = 3,
+    interpret: bool = False,
+):
+    """Whole tolerance-EM loop in one pallas_call on pre-padded staging.
+
+    scalars rows (the traced per-frame values; everything else is a
+    trace-time constant baked into the kernel): [0]=sigma2_init, [1]=kc_v,
+    [2]=kc_n ( c_plain/c_vis = kc * (2*pi*s2)^{3/2} ), [3]=vis_gate,
+    [4]=v_count.
+
+    Returns (y (m_pad, 3), stats (1, 8) = [sigma2, iterations, converged,
+    delta, 0...])."""
+    m_pad = y0p.shape[0]
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    y_out, stats = pl.pallas_call(
+        functools.partial(
+            _em_loop_kernel, int(refine), float(k_vis), float(tau_vis),
+            float(lam), float(coef_lle), float(alpha), float(tol),
+            int(max_iter),
+        ),
+        in_specs=[full()] * 11,
+        out_specs=[full(), full()],
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scalars, y0p, coordp, nmp, gp, hgp, hy0p, jgp, pdp, xt, xmp)
+    return y_out, stats
 
 
 # ---------------------------------------------------------------------------
