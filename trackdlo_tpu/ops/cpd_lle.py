@@ -607,9 +607,14 @@ def _cpd_lle_impl(
             # closed-loop). With rcond→0 the f32 SVD noise lands in G's own
             # small singular directions and is filtered by G, exactly like
             # LU's backward error (measured 0.20 vs LU's 0.10 mm per solve;
-            # closed loop back in the normal band). The f64 reference COD's
+            # CPU closed loop back in the normal band — 0.34 mm mean,
+            # perf/parity_decomp_30f_r5cpu.json). The f64 reference COD's
             # rank cutoff is at eps_f64 and never bites — rcond≈0 IS the
-            # faithful f32 realization. See docs/ALGORITHM.md (lstsq note).
+            # faithful f32 realization. NOTE: on TPU this variant still
+            # diverges (7.9 mm mean closed loop,
+            # perf/parity_decomp_30f_tpu_r5.json) — the TPU SVD's own noise
+            # floor, see docs/ALGORITHM.md round-5 lstsq entry. The shipped
+            # default solver is "lu" (the Gauss-Jordan kernel).
             return jnp.linalg.lstsq(a_mat, b_mat, rcond=1e-12)[0]
         if params.solver == "xla_lu":
             # Diagnostic solver: force XLA's LU even where _solve_lu would
