@@ -53,7 +53,7 @@ def _hsv_mask_block(r, g, b, lower, upper, multi_color):
 def _make_kernel(
     lower, upper, multi_color, fx, fy, cx, cy, cell_px, n_cell_rows_pad,
     parity_split=False, voxel_leaf_static=0.0, with_votes=False,
-    n_cell_cols_pad=128, img_width=1280, stacked_channels=True,
+    n_cell_cols_pad=128, img_width=1280, stacked_channels=False,
 ):
     from trackdlo_tpu.ops.preprocess import (
         voxel_floor_keys, voxel_parity_bits,
