@@ -20,13 +20,21 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def scan_time(build_body, k_pair=(16, 96)):
+def scan_time(build_body, k_pair=(16, 96), reps=3):
+    """Median-of-`reps` scan-slope estimate (ms per body).
+
+    A single (short, long) slope is noise-prone over the tunnelled TPU —
+    one delayed fetch on the short run drives the slope negative (the r4
+    batch_breakdown_b1_b8.json pre_em_b1=-0.37 ms artifact, VERDICT r4 weak
+    #4). Same robust estimator as perf/step_ablation.scan_slope: take the
+    median of three independently-timed slopes.
+    """
     import jax
     import jax.numpy as jnp
 
-    times = []
+    body = build_body()
+    runs = {}
     for k in k_pair:
-        body = build_body()
 
         @jax.jit
         def run(c0, k=k, body=body):
@@ -36,13 +44,19 @@ def scan_time(build_body, k_pair=(16, 96)):
             c, _ = jax.lax.scan(step, c0, None, length=k)
             return c
 
-        c = run(jnp.asarray(0.0, jnp.float32))
-        _ = float(c)  # compile + first run
-        t0 = time.perf_counter()
-        c = run(jnp.asarray(0.0, jnp.float32))
-        _ = float(c)
-        times.append(time.perf_counter() - t0)
-    return (times[1] - times[0]) / (k_pair[1] - k_pair[0]) * 1000.0
+        _ = float(run(jnp.asarray(0.0, jnp.float32)))  # compile + warm
+        runs[k] = run
+
+    slopes = []
+    for _ in range(reps):
+        times = []
+        for k in k_pair:
+            t0 = time.perf_counter()
+            c = runs[k](jnp.asarray(0.0, jnp.float32))
+            _ = float(c)
+            times.append(time.perf_counter() - t0)
+        slopes.append((times[1] - times[0]) / (k_pair[1] - k_pair[0]) * 1000.0)
+    return sorted(slopes)[reps // 2]
 
 
 def main():

@@ -23,24 +23,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # BIT-PINNED between Mosaic and XLA (integer-mm z + multiply-only x/y,
 # ops/preprocess.voxel_parity_bits), so kernel-vs-XLA candidate counts must
 # be EQUAL — count_delta bound is 0 (VERDICT r3 item 3; was ±4 tolerating
-# knife-edge floor flips). p95 position bounds stay loose only for ulp-level
-# centroid accumulation-order differences.
+# knife-edge floor flips).
+#
+# Round 5 (VERDICT r4 item 8): bounds RATCHETED to ~2-3x the values the
+# round-4 driver bench actually recorded (BENCH_r04.json audit_* fields) —
+# e.g. em10 2e-3 -> 2e-6 (recorded 5.74e-7), preprocess p95 1e-3 -> 2e-6
+# (recorded 7.11e-7) — so a regression of the r2/r4 Mosaic-lowering class
+# (bf16 dot rounding, silent mis-lowering: mm-scale errors) cannot land
+# green. The fixtures are deterministic (seeded synthetic frame, seeded
+# solver matrices), so 2-3x headroom covers accumulation-order jitter
+# across compiler versions without admitting a real lowering bug.
 THRESHOLDS = {
-    "preprocess_kernel_vs_xla_p95_m": 1e-3,
+    "preprocess_kernel_vs_xla_p95_m": 2e-6,   # r4 recorded 7.11e-7
     "preprocess_kernel_count_delta": 0,
-    "preprocess_parity_vs_xla_p95_m": 1e-3,
+    "preprocess_parity_vs_xla_p95_m": 1e-6,   # r4 recorded 2.98e-7
     "preprocess_parity_count_delta": 0,
-    "em10_pallas_vs_xla_max_m": 2e-3,
-    "em10_fusedmstep_vs_xla_max_m": 2e-3,
-    "em10_batched_vs_single_max_m": 2e-3,
-    "gj_solve_vs_f64_max": 1e-6,
-    "lu_solve_vs_f64_max": 1e-6,
-    "visibility_dist_max_m": 1e-5,
+    "em10_pallas_vs_xla_max_m": 2e-6,         # r4 recorded 5.74e-7
+    "em3_fusedloop_vs_xla_max_m": 1e-6,       # strict few-iter (ADVICE r4 #4)
+    "em3_fusedloop_lle_vs_xla_max_m": 1e-6,
+    "em3_fusedloop_priors_vs_xla_max_m": 1e-6,
+    "em10_fusedmstep_vs_xla_max_m": 2e-6,     # r4 recorded 4.82e-7
+    "em10_batched_vs_single_max_m": 2e-6,     # r4 recorded 4.06e-7
+    "gj_solve_vs_f64_max": 2e-8,              # r4 recorded 5e-9
+    "lu_solve_vs_f64_max": 1e-7,              # r4 recorded 1.9e-8
+    "visibility_dist_max_m": 1e-6,            # r4 recorded 0.0
     "visibility_idx_mismatch": 0,
-    "visibility_pointmin_max": 1e-5,
+    "visibility_pointmin_max": 1e-6,          # r4 recorded 0.0
     "priors_mask_mismatch": 0,
-    "priors_pos_max_m": 1e-5,
-    "priors_batched_vs_single_max_m": 1e-6,
+    "priors_pos_max_m": 5e-6,                 # r4 recorded 1.848e-6
+    "priors_batched_vs_single_max_m": 1e-6,   # r4 recorded 0.0
 }
 
 
@@ -163,6 +174,37 @@ def audit():
     results["em10_fusedmstep_vs_xla_max_m"] = float(
         jnp.max(jnp.abs(r_fused.y - r_xla.y))
     )
+
+    # Strict few-iteration audit of the whole-EM-loop kernel (ADVICE r4 #4):
+    # the unbatched use_pallas path routes the ENTIRE tolerance loop —
+    # including the in-kernel _gj2d_with_inv M-step solve — through one
+    # pallas_call (ops/pallas_kernels.fused_em_loop). At 3 iterations the
+    # chaotic compounding that forces the em10 bounds to 2e-6 is negligible,
+    # so compiled-vs-XLA must agree to ~1 f32 ulp of the node scale; the
+    # LLE and priors variants exercise the kernel's hg/hy0 and jg/pd inputs
+    # that the plain config leaves zeroed.
+    short = dict(base, max_iter=3)
+    for tag, extra, pk in (
+        ("em3_fusedloop_vs_xla_max_m", {}, {}),
+        ("em3_fusedloop_lle_vs_xla_max_m", {"include_lle": True}, {}),
+        (
+            "em3_fusedloop_priors_vs_xla_max_m",
+            {"use_priors": True, "alpha": params.alpha},
+            {
+                "prior_pos": nodes + 0.004,
+                "prior_mask": jnp.arange(m) < 12,
+            },
+        ),
+    ):
+        cfg = {**short, **extra}
+        r3x = cpd_lle(
+            x, xm, nodes, nm, s2, CpdParams(**cfg), visible_count=vc, **pk
+        )
+        r3p = cpd_lle(
+            x, xm, nodes, nm, s2, CpdParams(**cfg, use_pallas=True),
+            visible_count=vc, **pk,
+        )
+        results[tag] = float(jnp.max(jnp.abs(r3p.y - r3x.y)))
 
     # Row-packed batched E-step (round 3): the vmapped EM must match the
     # single-stream kernel it replaces.

@@ -64,6 +64,42 @@ class TestBatchedDP:
             np.asarray(new_bstate.y[3]), np.asarray(s_single.y), atol=1e-5
         )
 
+    def test_cohort_split_is_bitwise_identical(self, small_setup):
+        """Convergence cohorts (r5, VERDICT r4 #6): splitting a stream batch
+        into independent cohort while_loops changes ONLY the loop schedule —
+        lax.while_loop's batching rule freezes converged elements by select,
+        so each stream's math is independent of its lockstep grouping. The
+        large-batch perf mode must therefore be BITWISE equal to the
+        single-loop batch."""
+        params, intr, rope = small_setup
+        tracker = Tracker(params, intr)
+        state0 = tracker.init_from_nodes(rope.nodes(0.0, params.M))
+        batch = 8
+        rgbs, depths, occ = _frames(rope, intr, batch)
+        bstate = replicate_state(state0, batch)
+        fn_lock = build_batched_step_fn(params, intr)
+        fn_coh = build_batched_step_fn(params, intr, cohort_size=2)
+        s_lock, _ = fn_lock(
+            jax.tree.map(lambda v: v.copy(), bstate), rgbs, depths, occ
+        )
+        s_coh, _ = fn_coh(
+            jax.tree.map(lambda v: v.copy(), bstate), rgbs, depths, occ
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_lock.y), np.asarray(s_coh.y)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_lock.sigma2), np.asarray(s_coh.sigma2)
+        )
+
+    def test_cohort_size_must_divide_batch(self, small_setup):
+        params, intr, rope = small_setup
+        rgbs, depths, occ = _frames(rope, intr, 6)
+        state0 = init_state(rope.nodes(0.0, params.M), params)
+        fn = build_batched_step_fn(params, intr, cohort_size=4)
+        with pytest.raises(ValueError, match="not divisible"):
+            fn(replicate_state(state0, 6), rgbs, depths, occ)
+
     def test_distinct_streams_track_distinct_poses(self, small_setup):
         params, intr, rope = small_setup
         tracker = Tracker(params, intr)

@@ -59,14 +59,54 @@ def build_batched_step_fn(
     params: TrackerParams,
     intr: CameraIntrinsics,
     mesh: Mesh | None = None,
+    cohort_size: int | None = None,
 ):
     """vmap the per-frame step over a leading stream axis; with a mesh, the
-    batch axis is sharded over the mesh's ``data`` axis (pure DP)."""
+    batch axis is sharded over the mesh's ``data`` axis (pure DP).
+
+    ``cohort_size``: split the stream batch into independent CONVERGENCE
+    COHORTS of this size, each running its own vmapped step (its own EM
+    while_loops) inside the same jit. A single vmapped while_loop runs
+    every stream to the batch's SLOWEST stream (lax.while_loop batching:
+    converged streams keep executing masked body iterations), and
+    E[max trips over B] grows with B — measured 3.9 single / 6.4 at b8 /
+    7.1 at b16 (perf/batch_predication_study.json), so large lockstep
+    batches pay a growing per-frame EM tax. Cohorts bound that tax at
+    E[max over cohort_size]: per-stream results are BITWISE identical to
+    the lockstep batch (the batching rule freezes converged elements by
+    select, so grouping never changes any stream's math — pinned by
+    tests/test_parallel.py), only the loop scheduling changes. Measured
+    round 5 at b16: see perf/ + docs/ALGORITHM.md. Must divide the batch."""
     cell_px = params.downsample_cell_px or default_cell_px(
         params.downsample_leaf_size, intr.fx
     )
     step = functools.partial(_step_impl, params=params, intr=intr, cell_px=cell_px)
-    batched = jax.vmap(step)
+    vstep = jax.vmap(step)
+    if cohort_size is None:
+        batched = vstep
+    else:
+
+        def batched(state, rgb, depth, occ):
+            b = rgb.shape[0]
+            if b % cohort_size:
+                raise ValueError(
+                    f"batch {b} not divisible by cohort_size={cohort_size}"
+                )
+            if b == cohort_size:
+                return vstep(state, rgb, depth, occ)
+            outs = []
+            for i in range(0, b, cohort_size):
+                sl = slice(i, i + cohort_size)
+                outs.append(
+                    vstep(
+                        jax.tree.map(lambda v: v[sl], state),
+                        rgb[sl], depth[sl], occ[sl],
+                    )
+                )
+            return jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *outs
+            )
+
     if mesh is None:
         return jax.jit(batched, donate_argnums=(0,))
 
