@@ -132,10 +132,10 @@ class TrackerParams:
     # v5e, perf/stage_scan_bench.py; CPU stays on the XLA path since Pallas
     # interpret mode is far slower there); True/False forces it.
     use_pallas_estep: bool | None = None
-    # M-step solver: "lu" (fastest) or "lstsq" (SVD minimum-norm least
-    # squares — the reference's completeOrthogonalDecomposition semantics,
-    # trackdlo.cpp:415; robust to sigma^2-collapse-induced ill-conditioning).
-    # See ops/cpd_lle.CpdParams.solver.
+    # M-step solver: "lu" (fastest) or "lstsq" (the reference's
+    # completeOrthogonalDecomposition semantics, trackdlo.cpp:415, realized
+    # with Householder QR — backward stable on every backend, unlike the
+    # TPU SVD lowering; see ops/cpd_lle._solve_qr and CpdParams.solver).
     solver: str = "lu"
 
     @property

@@ -88,6 +88,42 @@ def _solve_lu_vmap_rule(axis_size, in_batched, a_mat, b_mat):
     return out, True
 
 
+def _solve_qr(a_mat: jnp.ndarray, b_mat: jnp.ndarray) -> jnp.ndarray:
+    """Householder-QR solve: the f32 realization of the reference's COD.
+
+    The reference solves the M-step with Eigen's
+    completeOrthogonalDecomposition (trackdlo.cpp:415) in f64, whose rank
+    cutoff (eps_f64-scale) never bites on the MCT system — so its semantics
+    on every system the tracker actually produces are a plain direct solve
+    reached through orthogonal factors. QR is exactly that: backward-stable
+    on every backend, including TPU, where the SVD realization
+    (jnp.linalg.lstsq -> QDWH) carries ~14% relative error on small
+    singular values and loses 3.6 mm per solve in the ill-conditioned
+    pre-registration regime (cond(A)~4e6, perf/lstsq_tpu_probe.json:
+    tpu_lstsq 3.59 mm vs tpu_qr/tpu_lu ~0.03 mm). The SVD path survives as
+    solver="svd_lstsq" for diagnosis.
+    """
+    q_mat, r_mat = jnp.linalg.qr(a_mat)
+    # Exact-zero diagonal guard: an EXACTLY rank-deficient A (coincident
+    # nodes with lam=0, tests/test_robustness.TestSingularSystem) can leave
+    # a true 0 on R's diagonal -> inf. In f32 practice Householder round-off
+    # leaves ~eps*scale there instead, whose inverted noise lands in G's
+    # small singular directions and is filtered by G — the same mechanism
+    # the rcond~0 SVD path relies on (r4 finding). Only the literal zero
+    # needs replacing; anything larger must pass through untouched (any
+    # f32-scale cutoff truncates real spectrum at cond(A)~4e6).
+    diag = jnp.diagonal(r_mat, axis1=-2, axis2=-1)
+    tiny = jnp.asarray(1.1754944e-38, r_mat.dtype)  # f32 smallest normal
+    safe = jnp.where(diag == 0, tiny, diag)
+    r_mat = r_mat + jnp.zeros_like(r_mat).at[
+        ..., jnp.arange(r_mat.shape[-1]), jnp.arange(r_mat.shape[-1])
+    ].set(safe - diag)
+    hp = jax.lax.Precision.HIGHEST
+    return jax.scipy.linalg.solve_triangular(
+        r_mat, jnp.matmul(q_mat.T, b_mat, precision=hp), lower=False
+    )
+
+
 def _em_while_xla(params, interpret, dyn, y0p, coordp, nmp, gp, hgp, hy0p,
                   jgp, pdp, xt, xmp):
     """The per-iteration EM while-loop on pre-padded staging (the twin the
@@ -207,9 +243,10 @@ class CpdParams:
     # M-step solver:
     # - "lu" (jnp.linalg.solve; the default — fastest, fine while A is
     #   well-conditioned);
-    # - "lstsq" (SVD minimum-norm least squares = the reference's
-    #   completeOrthogonalDecomposition().solve semantics, trackdlo.cpp:415 —
-    #   robust when sigma^2 collapse makes A near-singular);
+    # - "lstsq" (the reference's completeOrthogonalDecomposition().solve
+    #   semantics, trackdlo.cpp:415, realized with Householder QR — see
+    #   _solve_qr; "svd_lstsq" keeps the SVD min-norm realization, which
+    #   diverges on TPU via QDWH tail-sigma error);
     # - "normal_cholesky" (AtA w = At b via Cholesky; looked ~4x faster in a
     #   standalone solver microbench but is indistinguishable from LU inside
     #   the compiled EM loop on v5e, and squares the condition number — kept
@@ -593,28 +630,25 @@ def _cpd_lle_impl(
             l_chol = jnp.linalg.cholesky(ata)
             return jax.scipy.linalg.cho_solve((l_chol, True), atb)
         if params.solver == "lstsq":
-            # Minimum-norm least squares: the jittable equivalent of the
-            # reference's rank-revealing COD solve (trackdlo.cpp:415). Unlike
-            # LU, a (near-)singular A yields the min-norm solution instead of
-            # amplified noise/inf.
-            #
-            # rcond MUST be ~0 here (r4 finding, VERDICT r3 weak #4): the
-            # default f32 cutoff (~48·eps_f32·σmax ≈ 5.7e-6·σmax) TRUNCATES
-            # genuinely-significant spectrum of the smooth MCT-kernel system
-            # — cond(A) reaches ~4e6 in the weakly-regularized pre-proc pass
-            # (λ_pre_proc=1, collapsed σ²) — deleting O(mm) of real signal
-            # from T = Y0 + G·W (measured 2.1 mm per solve, 3.1 mm mean
-            # closed-loop). With rcond→0 the f32 SVD noise lands in G's own
-            # small singular directions and is filtered by G, exactly like
-            # LU's backward error (measured 0.20 vs LU's 0.10 mm per solve;
-            # CPU closed loop back in the normal band — 0.34 mm mean,
-            # perf/parity_decomp_30f_r5cpu.json). The f64 reference COD's
-            # rank cutoff is at eps_f64 and never bites — rcond≈0 IS the
-            # faithful f32 realization. NOTE: on TPU this variant still
-            # diverges (7.9 mm mean closed loop,
-            # perf/parity_decomp_30f_tpu_r5.json) — the TPU SVD's own noise
-            # floor, see docs/ALGORITHM.md round-5 lstsq entry. The shipped
-            # default solver is "lu" (the Gauss-Jordan kernel).
+            # COD-semantics solve (trackdlo.cpp:415), realized with
+            # Householder QR (r5). The rank story (r4 finding, VERDICT r3
+            # weak #4): any f32-scale rank cutoff TRUNCATES genuinely-
+            # significant spectrum of the smooth MCT-kernel system —
+            # cond(A)~4e6 in the weakly-regularized pre-proc pass — deleting
+            # O(mm) of real signal (2.1 mm per solve). The f64 reference
+            # COD's cutoff is at eps_f64 and never bites, so the faithful
+            # f32 realization is a DIRECT solve through orthogonal factors —
+            # which QR is, on every backend. The earlier SVD realization
+            # (jnp.linalg.lstsq, rcond=1e-12) is equivalent in exact
+            # arithmetic but lowers to QDWH on TPU, whose ~14% tail-sigma
+            # error cost 3.6 mm per solve and stalled the tolerance loop at
+            # max_iter (perf/lstsq_tpu_probe.json, docs/ALGORITHM.md round-5
+            # lstsq entry); it survives as solver="svd_lstsq" below. The
+            # shipped default solver is "lu" (the Gauss-Jordan kernel).
+            return _solve_qr(a_mat, b_mat)
+        if params.solver == "svd_lstsq":
+            # Diagnostic: the SVD min-norm realization. rcond MUST be ~0
+            # (see above); fine on CPU (LAPACK), diverges on TPU (QDWH).
             return jnp.linalg.lstsq(a_mat, b_mat, rcond=1e-12)[0]
         if params.solver == "xla_lu":
             # Diagnostic solver: force XLA's LU even where _solve_lu would
