@@ -108,17 +108,15 @@ def main():
 
     # Reference intermediates at batch max (sliced per batch below).
     def pre_one(rgb, depth, occ):
-        # The PRODUCTION default (parity_split) preprocess, matching
-        # models/trackdlo.preprocess_for_step exactly.
-        cells, counts = cell_sums_pallas(
-            rgb, depth, occ, intr.fx, intr.fy, intr.cx, intr.cy,
-            params.hsv_lower, params.hsv_upper, params.multi_color_dlo,
-            cell, interpret=interp, parity_split=True,
-            voxel_leaf=params.downsample_leaf_size,
-        )
-        return compact_cells(
-            cells, counts, params.max_points, params.downsample_leaf_size,
-            candidate_cap=params.candidate_cap(), n_channels=8,
+        # The PRODUCTION default (parity_split) preprocess — call the
+        # shipped function itself so this stage can never drift from it
+        # (r5: it previously hand-copied the pipeline and silently kept
+        # measuring the legacy trimmed interface).
+        from trackdlo_tpu.models.trackdlo import preprocess_for_step
+
+        return preprocess_for_step(
+            rgb, depth, occ, params=params, intr=intr, cell_px=cell,
+            use_pallas=not interp,
         )
 
     occ_all = jnp.ones((max_b, intr.height, intr.width), bool)

@@ -67,18 +67,17 @@ def main():
     cap = params.candidate_cap()
     cap_per = cap // 8
 
-    cells8, counts8 = cell_sums_pallas(
+    # r5: the channel-grid interface (dense (8, n_per) coordinate arrays —
+    # no (C, 3) lane-padded intermediates; see compact_parity_channels).
+    sx8, sy8, sz8, counts_ch = cell_sums_pallas(
         rgbj, depthj, occ, intr.fx, intr.fy, intr.cx, intr.cy,
         params.hsv_lower, params.hsv_upper, False, cell,
         interpret=False, parity_split=True, voxel_leaf=leaf,
+        channel_grids=True,
     )
-    n_cells = cells8.shape[0]
-    n_per = n_cells // 8
-    resh = lambda a: a.reshape(8, n_per)
-    cells3 = jnp.stack(
-        [resh(cells8[:, 0]), resh(cells8[:, 1]), resh(cells8[:, 2])], axis=-1
-    )
-    counts_ch = resh(counts8)
+    den8 = jnp.maximum(counts_ch, 1.0)
+    xs8, ys8, zs8 = sx8 / den8, sy8 / den8, sz8 / den8
+    n_per = counts_ch.shape[1]
 
     def kept_of(counts_ch):
         vch = counts_ch > 0
@@ -95,7 +94,7 @@ def main():
     kept = kept_of(counts_ch)
     # Pre-packed candidates for the snap-only stages.
     pts_ch, cnt_s, valid_ch = _compact_channels_sort(
-        cells3, counts_ch, kept, cap_per
+        xs8, ys8, zs8, counts_ch, kept, cap_per
     )
     pts_ch = jnp.stack([pts_ch[..., 0], pts_ch[..., 1], pts_ch[..., 2]], -1)
     w_ch = jnp.where(valid_ch, cnt_s, 0.0)
@@ -118,14 +117,14 @@ def main():
     results["pack_onehot"] = med3(
         body_of(
             lambda c: compact_onehot_pallas(
-                cells3, counts_ch + c * 0, kept, cap_per
+                xs8, ys8, zs8, counts_ch + c * 0, kept, cap_per
             )[0]
         )
     )
     results["pack_sort"] = med3(
         body_of(
             lambda c: _compact_channels_sort(
-                cells3, counts_ch + c * 0, kept, cap_per
+                xs8, ys8, zs8, counts_ch + c * 0, kept, cap_per
             )[0]
         )
     )

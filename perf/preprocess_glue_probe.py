@@ -67,7 +67,21 @@ def main():
     cap = params.candidate_cap()
     cap_per = cap // 8
 
+    path = os.path.join(os.path.dirname(__file__), "preprocess_glue_probe.json")
     res = {"config": {"cell_px": cell, "leaf": leaf, "cap": cap}}
+    if os.path.exists(path):
+        # Resumable over tunnel outages: keep completed stages.
+        with open(path) as f:
+            res.update(json.load(f))
+
+    def record(name, fn):
+        if name in res:
+            print(name, res[name], "(cached)", flush=True)
+            return
+        res[name] = fn()
+        print(name, res[name], flush=True)
+        with open(path, "w") as f:
+            json.dump(res, f, indent=1)
 
     # ---- input prep: channel split + pad --------------------------------
     def prep(rgb_in, d_in, o_in):
@@ -90,8 +104,7 @@ def main():
             return s * 1e-12 + c * 0.5
         return body
 
-    res["input_prep"] = med3(prep_body)
-    print("input_prep", res["input_prep"], flush=True)
+    record("input_prep", lambda: med3(prep_body))
 
     # ---- raw kernel on pre-padded operands -------------------------------
     import functools
@@ -139,8 +152,7 @@ def main():
             return (jnp.sum(sx) + jnp.sum(cnt)) * 1e-12 + c * 0.5
         return body
 
-    res["kernel_raw"] = med3(raw_body)
-    print("kernel_raw", res["kernel_raw"], flush=True)
+    record("kernel_raw", lambda: med3(raw_body))
 
     # ---- + the shipped trim/divide/stack epilogue ------------------------
     def tail_body():
@@ -156,8 +168,7 @@ def main():
             return (jnp.sum(cells) + jnp.sum(cnt)) * 1e-12 + c * 0.5
         return body
 
-    res["kernel_tail"] = med3(tail_body)
-    print("kernel_tail", res["kernel_tail"], flush=True)
+    record("kernel_tail", lambda: med3(tail_body))
 
     # ---- shipped cell_sums_pallas (prep + raw + tail) ---------------------
     def cells_body():
@@ -173,8 +184,24 @@ def main():
             return (jnp.sum(cl) + jnp.sum(ct)) * 1e-12 + c * 0.5
         return body
 
-    res["cells_full"] = med3(cells_body)
-    print("cells_full", res["cells_full"], flush=True)
+    record("cells_full", lambda: med3(cells_body))
+
+    # ---- r5 channel-grid interface (no trim, no (C,3) stack) --------------
+    def cells_grids_body():
+        def body(c):
+            d = (depthj.astype(jnp.int32) + (c * 0).astype(jnp.int32)).astype(
+                jnp.uint16
+            )
+            xs, ys, zs, cnt = pk.cell_sums_pallas(
+                rgbj, d, occ, intr.fx, intr.fy, intr.cx, intr.cy,
+                params.hsv_lower, params.hsv_upper, False, cell,
+                interpret=False, parity_split=True, voxel_leaf=leaf,
+                channel_grids=True,
+            )
+            return (jnp.sum(xs) + jnp.sum(cnt)) * 1e-12 + c * 0.5
+        return body
+
+    record("cells_channel_grids", lambda: med3(cells_grids_body))
 
     # ---- compact front: (C,3) -> (8, n_per, 3) + kept ranks ---------------
     cl8, ct8 = pk.cell_sums_pallas(
@@ -206,8 +233,7 @@ def main():
             ) * 1e-12 + c * 0.5
         return body
 
-    res["compact_front"] = med3(front_body)
-    print("compact_front", res["compact_front"], flush=True)
+    record("compact_front", lambda: med3(front_body))
 
     # ---- one-hot pack from pre-shaped operands ----------------------------
     cells3_h, cts_h, kept_h = front(cl8, ct8)
@@ -215,20 +241,23 @@ def main():
     cts_h = jnp.asarray(np.asarray(cts_h))
     kept_h = jnp.asarray(np.asarray(kept_h))
 
+    xs_h = cells3_h[..., 0]
+    ys_h = cells3_h[..., 1]
+    zs_h = cells3_h[..., 2]
+
     def onehot_body():
         def body(c):
             pts, cnt, valid = pk.compact_onehot_pallas(
-                cells3_h + c * 0, cts_h, kept_h, cap_per
+                xs_h + c * 0, ys_h, zs_h, cts_h, kept_h, cap_per
             )
             return (jnp.sum(pts) + jnp.sum(cnt)) * 1e-12 + c * 0.5
         return body
 
-    res["onehot_full"] = med3(onehot_body)
-    print("onehot_full", res["onehot_full"], flush=True)
+    record("onehot_full", lambda: med3(onehot_body))
 
     # ---- snap from pre-shaped (8, cap_per, 3) -----------------------------
     pts_h, cnt_h, valid_h = pk.compact_onehot_pallas(
-        cells3_h, cts_h, kept_h, cap_per
+        xs_h, ys_h, zs_h, cts_h, kept_h, cap_per
     )
     pts_h = jnp.asarray(np.asarray(pts_h))
     w_h = jnp.asarray(np.asarray(jnp.where(valid_h, cnt_h, 0.0)))
@@ -244,8 +273,7 @@ def main():
             return (jnp.sum(snapped) + jnp.sum(sv)) * 1e-12 + c * 0.5
         return body
 
-    res["snap"] = med3(snap_body)
-    print("snap", res["snap"], flush=True)
+    record("snap", lambda: med3(snap_body))
 
     # ---- the shipped composed path ----------------------------------------
     from trackdlo_tpu.models.trackdlo import preprocess_for_step
@@ -260,12 +288,8 @@ def main():
             return jnp.sum(p.points) * 1e-12 + c * 0.5
         return body
 
-    res["composed"] = med3(composed_body)
-    print("composed", res["composed"], flush=True)
+    record("composed", lambda: med3(composed_body))
 
-    path = os.path.join(os.path.dirname(__file__), "preprocess_glue_probe.json")
-    with open(path, "w") as f:
-        json.dump(res, f, indent=1)
     print("wrote", path)
 
 

@@ -130,14 +130,20 @@ def audit():
         voxel_leaf=params.downsample_leaf_size,
         candidate_cap=params.candidate_cap(), parity_split=True,
     )
-    cl_p, ct_p = cell_sums_pallas(
+    # r5: audit the SHIPPED channel-grid interface (preprocess_for_step's
+    # parity path) — coordinates stay (8, n_cells) dense end-to-end.
+    from trackdlo_tpu.ops.preprocess import compact_parity_channels
+
+    xs_p, ys_p, zs_p, ct_p = cell_sums_pallas(
         rgbj, depthj, occ, intr.fx, intr.fy, intr.cx, intr.cy,
         params.hsv_lower, params.hsv_upper, False, cell, interpret=False,
         parity_split=True, voxel_leaf=params.downsample_leaf_size,
+        channel_grids=True,
     )
-    pc_got_p = compact_cells(
-        cl_p, ct_p, params.max_points, params.downsample_leaf_size,
-        candidate_cap=params.candidate_cap(), n_channels=8,
+    pc_got_p = compact_parity_channels(
+        xs_p, ys_p, zs_p, ct_p, params.max_points,
+        params.downsample_leaf_size, params.candidate_cap(),
+        inputs_are_sums=True,
     )
     rp = np.asarray(pc_ref_p.points)[np.asarray(pc_ref_p.mask)]
     gp = np.asarray(pc_got_p.points)[np.asarray(pc_got_p.mask)]

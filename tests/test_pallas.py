@@ -578,3 +578,74 @@ class TestOnehotCompaction:
                           use_onehot_compact=True)
         assert int(a.count) == int(b.count)
         np.testing.assert_array_equal(np.asarray(a.points), np.asarray(b.points))
+
+
+class TestChannelGridInterface:
+    """The r5 channel-grid fast path (padded grids, coordinates as dense
+    (8, n_cells) arrays — no (C, 3) intermediates) must be bit-identical to
+    the r4 trimmed (C, 3) interface: pad cells carry count 0 and raster
+    order of real cells is preserved, so kept sets, ranks, and the snap all
+    match exactly (see compact_parity_channels)."""
+
+    def test_channel_grids_bit_identical_to_trimmed(self):
+        import numpy as np
+        from trackdlo_tpu.config import CameraIntrinsics, live_params
+        from trackdlo_tpu.io.sequence import SyntheticRope, render_frame
+        from trackdlo_tpu.ops.preprocess import (
+            compact_cells, compact_parity_channels, default_cell_px,
+        )
+        from trackdlo_tpu.ops.preprocess_kernel import cell_sums_pallas
+
+        params = live_params()
+        intr = CameraIntrinsics()
+        rope = SyntheticRope()
+        rgb, depth = render_frame(rope, 1 / 15.0, intr)
+        cell = default_cell_px(params.downsample_leaf_size, intr.fx)
+        occ = jnp.ones((intr.height, intr.width), bool)
+        leaf = params.downsample_leaf_size
+        cap = params.candidate_cap()
+        kw = dict(interpret=True, parity_split=True, voxel_leaf=leaf)
+        args = (
+            jnp.asarray(rgb), jnp.asarray(depth), occ,
+            intr.fx, intr.fy, intr.cx, intr.cy,
+            params.hsv_lower, params.hsv_upper, False, cell,
+        )
+        # Old trimmed interface end-to-end.
+        cells8, counts8 = cell_sums_pallas(*args, **kw)
+        a = compact_cells(cells8, counts8, params.max_points, leaf,
+                          candidate_cap=cap, n_channels=8)
+        # New channel-grid interface end-to-end (what preprocess_for_step
+        # ships on the parity path).
+        sx, sy, sz, cnt = cell_sums_pallas(*args, channel_grids=True, **kw)
+        b = compact_parity_channels(
+            sx, sy, sz, cnt, params.max_points, leaf, cap,
+            inputs_are_sums=True,
+        )
+        # The channel-grid counts cover the PADDED cell grid; real cells
+        # must carry identical values and pad cells must be empty.
+        n_real = counts8.shape[0] // 8
+        assert cnt.shape[1] >= n_real
+        assert float(jnp.sum(cnt)) == float(jnp.sum(counts8))
+        assert int(a.count) == int(b.count)
+        np.testing.assert_array_equal(np.asarray(a.points), np.asarray(b.points))
+        np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+
+    def test_channel_grids_onehot_matches_sort(self):
+        """Both compaction back ends stay bit-identical under the new
+        separate-coordinate signature."""
+        import numpy as np
+        from trackdlo_tpu.ops.preprocess import compact_parity_channels
+
+        rng = np.random.default_rng(7)
+        n_ch, n_per = 8, 1152  # tile remainder exercises the pad path
+        counts = (rng.uniform(0, 1, (n_ch, n_per)) < 0.04).astype(np.float32)
+        counts *= rng.integers(1, 120, (n_ch, n_per))
+        xs = rng.uniform(-0.5, 0.5, (n_ch, n_per)).astype(np.float32)
+        ys = rng.uniform(-0.5, 0.5, (n_ch, n_per)).astype(np.float32)
+        zs = rng.uniform(0.3, 1.0, (n_ch, n_per)).astype(np.float32)
+        argz = (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(zs),
+                jnp.asarray(counts), 4096, 0.008, 2048)
+        a = compact_parity_channels(*argz, use_onehot_compact=False)
+        b = compact_parity_channels(*argz, use_onehot_compact=True)
+        assert int(a.count) == int(b.count)
+        np.testing.assert_array_equal(np.asarray(a.points), np.asarray(b.points))

@@ -100,18 +100,39 @@ def preprocess_for_step(
     # TrackerParams.candidate_cap).
     candidate_cap = params.candidate_cap()
     if use_pallas:
-        from trackdlo_tpu.ops.preprocess import compact_cells
+        from trackdlo_tpu.ops.preprocess import (
+            compact_cells, compact_parity_channels,
+        )
         from trackdlo_tpu.ops.preprocess_kernel import cell_sums_pallas
 
         parity = params.parity_split and voxel_leaf is not None
         coarse_votes = (not parity) and voxel_leaf is not None
+        if parity:
+            # Channel-grid fast path (r5): coordinates stay as dense
+            # (8, n_cells) arrays end-to-end — no (C, 3) intermediate whose
+            # 3-wide lane dim tile-pads 42x (the r4 composed-preprocess
+            # glue, perf/preprocess_glue_probe.py). Bit-identical output.
+            sx, sy, sz, cnt = cell_sums_pallas(
+                rgb, depth, occlusion_mask,
+                intr.fx, intr.fy, intr.cx, intr.cy,
+                params.hsv_lower, params.hsv_upper, params.multi_color_dlo,
+                cell_px,
+                interpret=jax.default_backend() != "tpu",
+                parity_split=True,
+                voxel_leaf=voxel_leaf,
+                channel_grids=True,
+            )
+            return compact_parity_channels(
+                sx, sy, sz, cnt, params.max_points, voxel_leaf,
+                candidate_cap, inputs_are_sums=True,
+            )
         out = cell_sums_pallas(
             rgb, depth, occlusion_mask,
             intr.fx, intr.fy, intr.cx, intr.cy,
             params.hsv_lower, params.hsv_upper, params.multi_color_dlo,
             cell_px,
             interpret=jax.default_backend() != "tpu",
-            parity_split=parity,
+            parity_split=False,
             voxel_leaf=voxel_leaf,
             with_votes=coarse_votes,
         )
@@ -119,7 +140,7 @@ def preprocess_for_step(
         return compact_cells(
             cells, counts, params.max_points, voxel_leaf,
             candidate_cap=candidate_cap,
-            n_channels=8 if parity else 1,
+            n_channels=1,
             key_sums=out[2] if coarse_votes else None,
         )
     return preprocess_frame(

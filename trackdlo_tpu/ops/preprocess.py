@@ -520,15 +520,17 @@ def compact_cells_segsum(
     return PointCloud(points=points, mask=valid, count=jnp.sum(valid.astype(jnp.int32)))
 
 
-def _compact_channels_sort(cells3, counts, kept, cap_per):
+def _compact_channels_sort(xs, ys, zs, counts, kept, cap_per):
     """Packed-key batched compaction sort (the pre-r4 parity back end).
 
-    ``cells3`` (C, n_per, 3), ``counts``/``kept`` (C, n_per) → each channel's
+    ``xs``/``ys``/``zs``/``counts``/``kept`` (C, n_per) → each channel's
     kept cells packed into its first ``cap_per`` slots in ascending cell
     order. The count rides the key's low 14 bits (counts <= cell_px^2 are
     guarded exact by preprocess_frame's assert), so the sort carries 4
     operands; kept-cell keys stay uniquely ordered by cell index, making the
     output bit-identical to the 5-operand sort (perf/compact_ab.py).
+    Coordinates arrive as separate (C, n_per) arrays — never a (.., 3)
+    stack, whose 3-wide lane dim tile-pads 42x on TPU (r5 glue fix).
     Channels (and any folded-in stream batch) ride the TPU sort's batch
     dimension on sublanes. Returns (points (C, cap_per, 3), cnt, valid)."""
     c_ch, n_per = counts.shape
@@ -538,9 +540,7 @@ def _compact_channels_sort(cells3, counts, kept, cap_per):
     keys = (jnp.where(kept, idx, n_per) << cnt_bits) | jnp.minimum(
         counts, float((1 << cnt_bits) - 1)
     ).astype(jnp.int32)
-    key_s, x_s, y_s, z_s = jax.lax.sort(
-        (keys, cells3[..., 0], cells3[..., 1], cells3[..., 2]), num_keys=1
-    )
+    key_s, x_s, y_s, z_s = jax.lax.sort((keys, xs, ys, zs), num_keys=1)
     kk = key_s[:, :cap_per]
     valid = (kk >> cnt_bits) < n_per
     cnt = (kk & ((1 << cnt_bits) - 1)).astype(jnp.float32)
@@ -565,23 +565,25 @@ def _parity_compact_dispatch(cap_per: int, on_tpu: bool):
     (the voxel snap weights them 0), as shipped throughout round 3."""
 
     @jax.custom_batching.custom_vmap
-    def compact(cells3, counts, kept):
+    def compact(xs, ys, zs, counts, kept):
         if on_tpu:
             from trackdlo_tpu.ops.preprocess_kernel import compact_onehot_pallas
 
-            return compact_onehot_pallas(cells3, counts, kept, cap_per)
-        return _compact_channels_sort(cells3, counts, kept, cap_per)
+            return compact_onehot_pallas(xs, ys, zs, counts, kept, cap_per)
+        return _compact_channels_sort(xs, ys, zs, counts, kept, cap_per)
 
     @compact.def_vmap
-    def _rule(axis_size, in_batched, cells3, counts, kept):
-        cells3, counts, kept = (
+    def _rule(axis_size, in_batched, xs, ys, zs, counts, kept):
+        xs, ys, zs, counts, kept = (
             a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
-            for a, b in zip((cells3, counts, kept), in_batched)
+            for a, b in zip((xs, ys, zs, counts, kept), in_batched)
         )
         lead = counts.shape[:-2]
         c_ch, n_per = counts.shape[-2:]
         pts, cnt, valid = _compact_channels_sort(
-            cells3.reshape(-1, n_per, 3),
+            xs.reshape(-1, n_per),
+            ys.reshape(-1, n_per),
+            zs.reshape(-1, n_per),
             counts.reshape(-1, n_per),
             kept.reshape(-1, n_per),
             cap_per,
@@ -593,6 +595,128 @@ def _parity_compact_dispatch(cap_per: int, on_tpu: bool):
         ), (True, True, True)
 
     return compact
+
+
+def compact_parity_channels(
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    zs: jnp.ndarray,
+    counts: jnp.ndarray,
+    max_points: int,
+    voxel_leaf: float | None,
+    candidate_cap: int,
+    use_onehot_compact: bool | None = None,
+    inputs_are_sums: bool = False,
+) -> PointCloud:
+    """Parity-channel compaction from channel-shaped coordinates (r5).
+
+    ``inputs_are_sums``: xs/ys/zs are raw per-cell coordinate SUMS (the
+    Pallas kernel's channel_grids output); the centroid division
+    s/max(cnt,1) runs on the ~2k PACKED slots after compaction instead of
+    the ~74k grid cells — bit-identical because every packed slot is an
+    exact copy of one cell (one-hot rows are single products; the sort
+    carries operands verbatim), so the quotient commutes with the pack.
+
+    ``xs``/``ys``/``zs``/``counts`` are (n_channels, n_per) — the natural
+    layout of the Pallas binning kernel's channel grids (reshaped padded
+    grids; pad cells carry count 0). Keeping the coordinates as three dense
+    2-D arrays end-to-end removes the r4 composed-path glue: a (C, 3)
+    centroid array tile-pads its 3-wide lane dimension to 128 on TPU (42x
+    traffic), and the trim/stack/re-split chain between the kernel and the
+    compaction forced several such relayouts (~80 us of the 298 us composed
+    preprocess, perf/preprocess_glue_probe.json). Output is bit-identical
+    to the old (C, 3) interface: raster order of real cells is preserved,
+    pad cells are invalid, so ranks and kept sets match exactly.
+
+    Logic is the pre-r5 compact_cells n_channels>1 branch unchanged:
+    even-stride overflow thinning, batch-aware one-hot/sort dispatch,
+    channel-batched voxel snap."""
+    n_channels, n_per = counts.shape
+    cap = candidate_cap if voxel_leaf is not None else max_points
+    cap_per = cap // n_channels
+    vch = counts > 0
+    if n_per > cap_per:
+        # A channel can hold more valid cells than its cap slots (finer
+        # voxel leaves roughly double candidates per halving of the
+        # leaf: the eval 5 mm profile measured 749/channel worst-case
+        # where the live 8 mm profile peaks at 190 — size the cap per
+        # profile, this is the backstop). Prefix truncation would keep
+        # a raster band of the image; instead pre-rank valid cells with
+        # a cumsum and keep an even stride of them, so overflow thins
+        # density and preserves extent. One cumsum + elementwise —
+        # no extra sort — and below the cap it is exactly the identity.
+        vi = vch.astype(jnp.int32)
+        n_occ = jnp.sum(vi, axis=1, keepdims=True)
+        n_eff = jnp.maximum(n_occ, cap_per)
+        rank = jnp.cumsum(vi, axis=1) - vi  # exclusive rank among valid
+        kept = vch & (
+            (rank + 1) * cap_per // n_eff > rank * cap_per // n_eff
+        )
+    else:
+        kept = vch
+    if use_onehot_compact is None:
+        # Batch-aware dispatch: one-hot MXU pack unbatched, sort under
+        # vmap (see _parity_compact_dispatch).
+        pts_ch, cnt_s, valid_ch = _parity_compact_dispatch(
+            cap_per, jax.default_backend() == "tpu"
+        )(xs, ys, zs, counts, kept)
+    elif use_onehot_compact:
+        # Forced one-hot matmul pack (r4): compaction is a fixed
+        # permutation once ranks are known; the Pallas kernel builds the
+        # one-hot in-register and packs on the MXU — bit-identical to
+        # the sort (each slot is an exact copy of one cell). Tests force
+        # this path on CPU (interpret mode).
+        from trackdlo_tpu.ops.preprocess_kernel import (
+            compact_onehot_pallas,
+        )
+
+        pts_ch, cnt_s, valid_ch = compact_onehot_pallas(
+            xs, ys, zs, counts, kept, cap_per,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        pts_ch, cnt_s, valid_ch = _compact_channels_sort(
+            xs, ys, zs, counts, kept, cap_per
+        )
+    if inputs_are_sums:
+        # Packed slots are exact copies — divide the 2k slots, not the 74k
+        # grid (invalid slots are 0/1 = 0).
+        pts_ch = pts_ch / jnp.maximum(cnt_s, 1.0)[..., None]
+    x_s = pts_ch[..., 0]
+    y_s = pts_ch[..., 1]
+    z_s = pts_ch[..., 2]
+    valid = valid_ch.reshape(-1)
+    cap = cap_per * n_channels
+    if voxel_leaf is not None:
+        # Channel-batched snap: voxel duplicates are channel-local under
+        # the parity split, so the merge sort rides the batch dimension.
+        w_ch = jnp.where(valid_ch, cnt_s, 0.0)
+        # Channel-major parity convention shared by preprocess_frame's
+        # pooling loop and the Pallas kernel: index = bx·4 + by·2 + bz.
+        parities = (
+            jnp.asarray(
+                [[(c >> 2) & 1, (c >> 1) & 1, c & 1]
+                 for c in range(n_channels)],
+                jnp.int32,
+            )
+            if n_channels == 8
+            else None
+        )
+        snapped, snap_valid = _voxel_snap_channels(
+            pts_ch, w_ch, voxel_leaf, parities
+        )
+        points, valid = _cap_snapped(snapped, snap_valid, cap, max_points)
+        return PointCloud(
+            points=points, mask=valid,
+            count=jnp.sum(valid.astype(jnp.int32)),
+        )
+    x_s, y_s, z_s = (a.reshape(-1) for a in (x_s, y_s, z_s))
+    cnt_s = cnt_s.reshape(-1)
+    points = jnp.stack([x_s, y_s, z_s], axis=1)
+    points = jnp.where(valid[:, None], points, 0.0)
+    return PointCloud(
+        points=points, mask=valid, count=jnp.sum(valid.astype(jnp.int32))
+    )
 
 
 def compact_cells(
@@ -634,90 +758,12 @@ def compact_cells(
     cap = candidate_cap if voxel_leaf is not None else max_points
     if n_channels > 1:
         n_per = n_cells // n_channels
-        cap_per = cap // n_channels
         resh = lambda a: a.reshape(n_channels, n_per)
-        vch = resh(cell_valid)
-        if n_per > cap_per:
-            # A channel can hold more valid cells than its cap slots (finer
-            # voxel leaves roughly double candidates per halving of the
-            # leaf: the eval 5 mm profile measured 749/channel worst-case
-            # where the live 8 mm profile peaks at 190 — size the cap per
-            # profile, this is the backstop). Prefix truncation would keep
-            # a raster band of the image; instead pre-rank valid cells with
-            # a cumsum and keep an even stride of them, so overflow thins
-            # density and preserves extent. One cumsum + elementwise —
-            # no extra sort — and below the cap it is exactly the identity.
-            vi = vch.astype(jnp.int32)
-            n_occ = jnp.sum(vi, axis=1, keepdims=True)
-            n_eff = jnp.maximum(n_occ, cap_per)
-            rank = jnp.cumsum(vi, axis=1) - vi  # exclusive rank among valid
-            kept = vch & (
-                (rank + 1) * cap_per // n_eff > rank * cap_per // n_eff
-            )
-        else:
-            kept = vch
-        cells3 = jnp.stack(
-            [resh(cells[:, 0]), resh(cells[:, 1]), resh(cells[:, 2])],
-            axis=-1,
+        return compact_parity_channels(
+            resh(cells[:, 0]), resh(cells[:, 1]), resh(cells[:, 2]),
+            resh(counts), max_points, voxel_leaf, candidate_cap,
+            use_onehot_compact=use_onehot_compact,
         )
-        if use_onehot_compact is None:
-            # Batch-aware dispatch: one-hot MXU pack unbatched, sort under
-            # vmap (see _parity_compact_dispatch).
-            pts_ch, cnt_s, valid_ch = _parity_compact_dispatch(
-                cap_per, jax.default_backend() == "tpu"
-            )(cells3, resh(counts), kept)
-        elif use_onehot_compact:
-            # Forced one-hot matmul pack (r4): compaction is a fixed
-            # permutation once ranks are known; the Pallas kernel builds the
-            # one-hot in-register and packs on the MXU — bit-identical to
-            # the sort (each slot is an exact copy of one cell). Tests force
-            # this path on CPU (interpret mode).
-            from trackdlo_tpu.ops.preprocess_kernel import (
-                compact_onehot_pallas,
-            )
-
-            pts_ch, cnt_s, valid_ch = compact_onehot_pallas(
-                cells3, resh(counts), kept, cap_per,
-                interpret=jax.default_backend() != "tpu",
-            )
-        else:
-            pts_ch, cnt_s, valid_ch = _compact_channels_sort(
-                cells3, resh(counts), kept, cap_per
-            )
-        x_s = pts_ch[..., 0]
-        y_s = pts_ch[..., 1]
-        z_s = pts_ch[..., 2]
-        valid = valid_ch.reshape(-1)
-        cap = cap_per * n_channels
-        if voxel_leaf is not None:
-            # Channel-batched snap: voxel duplicates are channel-local under
-            # the parity split, so the merge sort rides the batch dimension.
-            pts_ch = jnp.stack([x_s, y_s, z_s], axis=-1)
-            w_ch = jnp.where(valid_ch, cnt_s, 0.0)
-            # Channel-major parity convention shared by preprocess_frame's
-            # pooling loop and the Pallas kernel: index = bx·4 + by·2 + bz.
-            parities = (
-                jnp.asarray(
-                    [[(c >> 2) & 1, (c >> 1) & 1, c & 1]
-                     for c in range(n_channels)],
-                    jnp.int32,
-                )
-                if n_channels == 8
-                else None
-            )
-            snapped, snap_valid = _voxel_snap_channels(
-                pts_ch, w_ch, voxel_leaf, parities
-            )
-            points, valid = _cap_snapped(snapped, snap_valid, cap, max_points)
-            return PointCloud(
-                points=points, mask=valid,
-                count=jnp.sum(valid.astype(jnp.int32)),
-            )
-        x_s, y_s, z_s = (a.reshape(-1) for a in (x_s, y_s, z_s))
-        cnt_s = cnt_s.reshape(-1)
-        points = jnp.stack([x_s, y_s, z_s], axis=1)
-        points = jnp.where(valid[:, None], points, 0.0)
-        cnt_s = jnp.where(valid, cnt_s, 0.0)
     else:
         keys = jnp.where(cell_valid, jnp.arange(n_cells, dtype=jnp.int32), n_cells)
         use_votes = key_sums is not None and voxel_leaf is not None

@@ -364,7 +364,7 @@ def _make_kernel(
     static_argnames=(
         "fx", "fy", "cx", "cy", "hsv_lower", "hsv_upper", "multi_color_dlo",
         "cell_px", "interpret", "parity_split", "voxel_leaf", "with_votes",
-        "stacked_channels",
+        "stacked_channels", "channel_grids",
     ),
 )
 def cell_sums_pallas(
@@ -384,6 +384,7 @@ def cell_sums_pallas(
     voxel_leaf: float | None = None,
     with_votes: bool = False,
     stacked_channels: bool = False,
+    channel_grids: bool = False,
 ):
     """Returns (cells (C, 3) float32 centroids, counts (C,)) matching
     ops.preprocess cell pooling, C = cell grid (x8 channels when
@@ -392,7 +393,19 @@ def cell_sums_pallas(
     ``with_votes`` (single-channel mode with ``voxel_leaf``): additionally
     pools per-pixel voxel floor votes and returns a third value — key_sums
     (C, 3) — for the deterministic coarse snap
-    (ops/preprocess.pack_vote_keys)."""
+    (ops/preprocess.pack_vote_keys).
+
+    ``channel_grids`` (parity mode only): return ``(sx, sy, sz, cnt)`` as
+    four (8, n_cell_rows_pad * n_cell_cols_pad) arrays over the PADDED cell
+    grid instead of trimmed/stacked (C, 3) centroids — RAW coordinate SUMS,
+    not divided: compact_parity_channels(inputs_are_sums=True) divides the
+    ~2k PACKED slots instead of the ~74k grid cells, bit-identically (each
+    packed slot is an exact copy, so s/max(cnt,1) commutes with the pack).
+    Padding cells carry cnt=0 (padded pixels are masked in-kernel), raster
+    order of real cells is preserved, so downstream compaction produces
+    bit-identical output — while skipping the trim relayout AND never
+    materializing a (C, 3) array, whose 3-wide lane dimension tile-pads 42x
+    on TPU (the composed r4 glue, perf/preprocess_glue_probe.py)."""
     h, w = depth.shape
     # Same packed-count bound as preprocess_frame: downstream compact_cells
     # packs per-cell counts into 14 key bits (advisor r3 finding).
@@ -455,6 +468,10 @@ def cell_sums_pallas(
     )(r, g, b, d, occ)
 
     sx, sy, sz, cnt = outs[:4]
+    if channel_grids:
+        assert parity_split, "channel_grids is the parity-split fast path"
+        flat = lambda a: a.reshape(n_ch, -1)
+        return flat(sx), flat(sy), flat(sz), flat(cnt)
     if parity_split:
         # Channel-major flattening matching the XLA path's concatenation
         # order (ops/preprocess.preprocess_frame parity loop).
@@ -521,7 +538,9 @@ def _compact_onehot_kernel(cap_per, n_lanes, c_ch, rank_ref, data_ref,
 
 
 def compact_onehot_pallas(
-    cells: jnp.ndarray,  # (C, n_per, 3) f32, channel-major
+    xs: jnp.ndarray,  # (C, n_per) f32, channel-major
+    ys: jnp.ndarray,  # (C, n_per) f32
+    zs: jnp.ndarray,  # (C, n_per) f32
     counts: jnp.ndarray,  # (C, n_per) f32
     kept: jnp.ndarray,  # (C, n_per) bool — valid AND under-cap (pre-thinned)
     cap_per: int,
@@ -534,6 +553,10 @@ def compact_onehot_pallas(
 
     tile=1024 measured best on v5e (fixed per-grid-step cost dominates at
     512; scoped VMEM blows past 2048 with the batched one-hot).
+
+    Coordinates arrive as separate dense (C, n_per) arrays (r5): a
+    (C, n_per, 3) operand tile-pads its lane dim 3→128 and was the composed
+    preprocess's hidden relayout cost (perf/preprocess_glue_probe.py).
 
     Returns (points (C, cap_per, 3), cnt (C, cap_per), valid (C, cap_per)).
     """
@@ -555,7 +578,7 @@ def compact_onehot_pallas(
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
         return hi, mid, lo
 
-    quantities = [cells[..., 0], cells[..., 1], cells[..., 2], counts]
+    quantities = [xs, ys, zs, counts]
     pieces = []
     for q in quantities:
         pieces.extend(split3(q))
