@@ -140,10 +140,13 @@ def audit():
         parity_split=True, voxel_leaf=params.downsample_leaf_size,
         channel_grids=True,
     )
+    from trackdlo_tpu.ops.preprocess_kernel import parity_grid_shape
+
     pc_got_p = compact_parity_channels(
         xs_p, ys_p, zs_p, ct_p, params.max_points,
         params.downsample_leaf_size, params.candidate_cap(),
         inputs_are_sums=True,
+        grid_shape=parity_grid_shape(depthj.shape[0], depthj.shape[1], cell),
     )
     rp = np.asarray(pc_ref_p.points)[np.asarray(pc_ref_p.mask)]
     gp = np.asarray(pc_got_p.points)[np.asarray(pc_got_p.mask)]

@@ -630,6 +630,51 @@ class TestChannelGridInterface:
         np.testing.assert_array_equal(np.asarray(a.points), np.asarray(b.points))
         np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
 
+    def test_grid_shape_trim_bit_identical(self):
+        """grid_shape routes sort-backed branches through a pad-column trim
+        (the sort is length-dominated); pad cells carry count 0 and raster
+        order is preserved, so output must be bitwise unchanged — unbatched
+        and under vmap (where the custom_vmap rule applies the trim)."""
+        import jax
+        import numpy as np
+        from trackdlo_tpu.ops.preprocess import compact_parity_channels
+
+        rng = np.random.default_rng(3)
+        rp, cp, nr, nc = 16, 128, 11, 117
+        n_ch = 8
+        cnt_g = np.zeros((2, n_ch, rp, cp), np.float32)
+        occ = rng.uniform(0, 1, (2, n_ch, nr, nc)) < 0.03
+        cnt_g[:, :, :nr, :nc] = occ * rng.integers(1, 100, (2, n_ch, nr, nc))
+        # Pad cells carry RANDOM coordinates with count 0 — the trim must be
+        # neutral because counts gate keeps, not because pads are zeroed.
+        coords = rng.uniform(-0.5, 0.5, (2, 2, n_ch, rp, cp)).astype(np.float32)
+        zs_g = rng.uniform(0.3, 1.0, (2, n_ch, rp, cp)).astype(np.float32)
+        flat = lambda a: jnp.asarray(a.reshape(2, n_ch, rp * cp))
+        xs, ys = flat(coords[0]), flat(coords[1])
+        zs, cnt = flat(zs_g), flat(cnt_g)
+        run = lambda gs, b: compact_parity_channels(
+            xs[b], ys[b], zs[b], cnt[b], 4096, 0.008, 2048,
+            use_onehot_compact=False, grid_shape=gs,
+        )
+        for b in range(2):
+            a = run(None, b)
+            t = run((rp, cp, nr, nc), b)
+            assert int(a.count) == int(t.count)
+            np.testing.assert_array_equal(
+                np.asarray(a.points), np.asarray(t.points)
+            )
+        # Batched: the custom_vmap dispatch path (use_onehot_compact=None).
+        vrun = lambda gs: jax.vmap(
+            lambda x, y, z, c: compact_parity_channels(
+                x, y, z, c, 4096, 0.008, 2048, grid_shape=gs
+            )
+        )(xs, ys, zs, cnt)
+        av, tv = vrun(None), vrun((rp, cp, nr, nc))
+        np.testing.assert_array_equal(np.asarray(av.count), np.asarray(tv.count))
+        np.testing.assert_array_equal(
+            np.asarray(av.points), np.asarray(tv.points)
+        )
+
     def test_channel_grids_onehot_matches_sort(self):
         """Both compaction back ends stay bit-identical under the new
         separate-coordinate signature."""

@@ -103,7 +103,9 @@ def preprocess_for_step(
         from trackdlo_tpu.ops.preprocess import (
             compact_cells, compact_parity_channels,
         )
-        from trackdlo_tpu.ops.preprocess_kernel import cell_sums_pallas
+        from trackdlo_tpu.ops.preprocess_kernel import (
+            cell_sums_pallas, parity_grid_shape,
+        )
 
         parity = params.parity_split and voxel_leaf is not None
         coarse_votes = (not parity) and voxel_leaf is not None
@@ -125,6 +127,9 @@ def preprocess_for_step(
             return compact_parity_channels(
                 sx, sy, sz, cnt, params.max_points, voxel_leaf,
                 candidate_cap, inputs_are_sums=True,
+                grid_shape=parity_grid_shape(
+                    depth.shape[0], depth.shape[1], cell_px
+                ),
             )
         out = cell_sums_pallas(
             rgb, depth, occlusion_mask,

@@ -551,7 +551,9 @@ def _compact_channels_sort(xs, ys, zs, counts, kept, cap_per):
 
 
 @functools.lru_cache(maxsize=None)
-def _parity_compact_dispatch(cap_per: int, on_tpu: bool):
+def _parity_compact_dispatch(
+    cap_per: int, on_tpu: bool, trim_spec: tuple | None = None
+):
     """Batch-aware parity-compaction dispatch (r4).
 
     Unbatched (the single-stream hot path) routes to the one-hot MXU pack —
@@ -562,7 +564,28 @@ def _parity_compact_dispatch(cap_per: int, on_tpu: bool):
     stream axis into its sublane batch almost for free; so the vmap rule
     routes to the sort. Both back ends are bit-identical on valid slots
     (TestOnehotCompaction); invalid slots are masked by every consumer
-    (the voxel snap weights them 0), as shipped throughout round 3."""
+    (the voxel snap weights them 0), as shipped throughout round 3.
+
+    ``trim_spec`` = (rows_pad, cols_pad, n_rows, n_cols), set when the
+    inputs cover the PADDED cell grid (the r5 channel-grid interface): the
+    sort back end is LENGTH-dominated, so every sort-routed branch slices
+    the pad columns off first (9216 → 7722 cells at 720p: ~48 us/frame at
+    b8, perf/batched_iface_ab.json) — bitwise-neutral because pad cells
+    carry count 0 and raster order of real cells is preserved. The one-hot
+    back end keeps the padded grid: its dead-tile liveness flag skips empty
+    tiles for free, and the trim relayout would be pure cost there."""
+
+    def _trim(a):
+        rp, cp, nr, nc = trim_spec
+        lead = a.shape[:-1]
+        return a.reshape(lead + (rp, cp))[..., :nr, :nc].reshape(
+            lead + (nr * nc,)
+        )
+
+    def _sort_trimmed(xs, ys, zs, counts, kept):
+        if trim_spec is not None:
+            xs, ys, zs, counts, kept = map(_trim, (xs, ys, zs, counts, kept))
+        return _compact_channels_sort(xs, ys, zs, counts, kept, cap_per)
 
     @jax.custom_batching.custom_vmap
     def compact(xs, ys, zs, counts, kept):
@@ -570,7 +593,7 @@ def _parity_compact_dispatch(cap_per: int, on_tpu: bool):
             from trackdlo_tpu.ops.preprocess_kernel import compact_onehot_pallas
 
             return compact_onehot_pallas(xs, ys, zs, counts, kept, cap_per)
-        return _compact_channels_sort(xs, ys, zs, counts, kept, cap_per)
+        return _sort_trimmed(xs, ys, zs, counts, kept)
 
     @compact.def_vmap
     def _rule(axis_size, in_batched, xs, ys, zs, counts, kept):
@@ -579,14 +602,9 @@ def _parity_compact_dispatch(cap_per: int, on_tpu: bool):
             for a, b in zip((xs, ys, zs, counts, kept), in_batched)
         )
         lead = counts.shape[:-2]
-        c_ch, n_per = counts.shape[-2:]
-        pts, cnt, valid = _compact_channels_sort(
-            xs.reshape(-1, n_per),
-            ys.reshape(-1, n_per),
-            zs.reshape(-1, n_per),
-            counts.reshape(-1, n_per),
-            kept.reshape(-1, n_per),
-            cap_per,
+        c_ch = counts.shape[-2]
+        pts, cnt, valid = _sort_trimmed(
+            *(a.reshape(-1, a.shape[-1]) for a in (xs, ys, zs, counts, kept))
         )
         return (
             pts.reshape(lead + (c_ch, cap_per, 3)),
@@ -607,8 +625,17 @@ def compact_parity_channels(
     candidate_cap: int,
     use_onehot_compact: bool | None = None,
     inputs_are_sums: bool = False,
+    grid_shape: tuple | None = None,
 ) -> PointCloud:
     """Parity-channel compaction from channel-shaped coordinates (r5).
+
+    ``grid_shape`` = (rows_pad, cols_pad, n_rows, n_cols), set when the
+    inputs cover the PADDED cell grid (preprocess_kernel.parity_grid_shape):
+    sort-routed branches slice the pad columns off first — the sort is
+    length-dominated and the pad tax is ~48 us/frame at b8
+    (perf/batched_iface_ab.json) — while the one-hot pack keeps the padded
+    grid (its dead-tile flag skips empty tiles for free). Bitwise-neutral
+    either way: pad cells carry count 0 and raster order is preserved.
 
     ``inputs_are_sums``: xs/ys/zs are raw per-cell coordinate SUMS (the
     Pallas kernel's channel_grids output); the centroid division
@@ -632,6 +659,10 @@ def compact_parity_channels(
     even-stride overflow thinning, batch-aware one-hot/sort dispatch,
     channel-batched voxel snap."""
     n_channels, n_per = counts.shape
+    if grid_shape is not None:
+        assert grid_shape[0] * grid_shape[1] == n_per, (
+            f"grid_shape {grid_shape} does not cover n_per={n_per}"
+        )
     cap = candidate_cap if voxel_leaf is not None else max_points
     cap_per = cap // n_channels
     vch = counts > 0
@@ -658,7 +689,7 @@ def compact_parity_channels(
         # Batch-aware dispatch: one-hot MXU pack unbatched, sort under
         # vmap (see _parity_compact_dispatch).
         pts_ch, cnt_s, valid_ch = _parity_compact_dispatch(
-            cap_per, jax.default_backend() == "tpu"
+            cap_per, jax.default_backend() == "tpu", trim_spec=grid_shape
         )(xs, ys, zs, counts, kept)
     elif use_onehot_compact:
         # Forced one-hot matmul pack (r4): compaction is a fixed
@@ -675,6 +706,12 @@ def compact_parity_channels(
             interpret=jax.default_backend() != "tpu",
         )
     else:
+        if grid_shape is not None:
+            rp, cp, nr, nc = grid_shape
+            tr = lambda a: a.reshape(n_channels, rp, cp)[
+                :, :nr, :nc
+            ].reshape(n_channels, nr * nc)
+            xs, ys, zs, counts, kept = map(tr, (xs, ys, zs, counts, kept))
         pts_ch, cnt_s, valid_ch = _compact_channels_sort(
             xs, ys, zs, counts, kept, cap_per
         )

@@ -26,6 +26,17 @@ ROW_BLOCK = 64
 COL_BLOCK = 256
 
 
+def parity_grid_shape(h: int, w: int, cell_px: int) -> tuple:
+    """(rows_pad, cols_pad, n_rows, n_cols) of the parity cell grid that
+    ``cell_sums_pallas(channel_grids=True)`` flattens into its (8, n_cells)
+    outputs — callers pass it to compact_parity_channels(grid_shape=...) so
+    sort-routed compaction can slice the pad columns off (the sort is
+    length-dominated; pads are ~19% at 720p, perf/batched_iface_ab.json)."""
+    n_rows = -(-h // cell_px)
+    n_cols = -(-w // cell_px)
+    return (_round_up(n_rows, 8), _round_up(n_cols, 128), n_rows, n_cols)
+
+
 def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
