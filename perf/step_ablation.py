@@ -45,10 +45,19 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_variant(params, intr, cell_px, mode):
+def build_variant(params, intr, cell_px, mode, pre_max_iter=None,
+                  pre_tol=None):
     """Production step with stages ablated. mode in
-    full | no_pre | no_preem | no_priors | skeleton.
-    All no_pre* modes take (state, pc_points, pc_mask) instead of frames."""
+    full | no_pre | no_preem | no_priors | skeleton | visonly.
+    All no_pre* modes take (state, pc_points, pc_mask) instead of frames.
+
+    ``pre_max_iter`` / ``pre_tol`` override the PRE-EM's loop bounds only
+    (perf/preem_trip_slope.py forces exact trip counts with tol=0 to
+    separate the stage's per-call fixed cost from its per-trip slope).
+    ``visonly`` is skeleton minus the cpd_lle call entirely (y' = raw
+    guide nodes): subtracting it from skeleton@0-trips isolates the pre-EM
+    call's fixed staging cost (prune fold, kernel/LLE assembly, padding,
+    point packing) from the visibility pass."""
     import jax
     import jax.numpy as jnp
 
@@ -79,6 +88,9 @@ def build_variant(params, intr, cell_px, mode):
         guide0 = state.y[vis.vis_ext_idx]
         guide_node_mask = iota < vis.vis_ext_count
         guide0 = jnp.where(guide_node_mask[:, None], guide0, 0.0)
+        if mode == "visonly":
+            new_y = jnp.where(guide_node_mask[:, None], guide0, state.y)
+            return state._replace(y=new_y)
         if mode == "no_preem":
             guide_nodes = guide0
         else:
@@ -87,7 +99,9 @@ def build_variant(params, intr, cell_px, mode):
                 CpdParams(
                     beta=params.beta_pre_proc, lam=params.lambda_pre_proc,
                     lle_weight=params.lle_weight, mu=params.mu,
-                    max_iter=params.max_iter, tol=params.tol,
+                    max_iter=(params.max_iter if pre_max_iter is None
+                              else pre_max_iter),
+                    tol=params.tol if pre_tol is None else pre_tol,
                     include_lle=True, prune_radius=params.prune_radius,
                     visibility_threshold=params.visibility_threshold,
                     use_pallas=use_pallas, solver=params.solver,

@@ -1,5 +1,6 @@
 """Pallas fused-E-step tests (interpret mode on CPU; compiled on TPU)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -124,6 +125,31 @@ class TestFusedEstep:
         r_pal = cpd_lle(xj, xm, y, jnp.ones(45, bool), s2,
                         CpdParams(**base, use_pallas=True), visible_count=vc)
         err = np.abs(np.asarray(r_xla.y) - np.asarray(r_pal.y)).max()
+        assert err < 1e-4, err
+
+    def test_vmap_axis_size_one_routes_to_fused_loop(self, rope_cloud, nodes):
+        # r5: the EM-loop dispatch's vmap rule squeezes axis_size==1 and
+        # takes the unbatched fused whole-loop kernel (12.3 vs 22.3 us/trip,
+        # perf/preem_trip_slope.json) — so a vmapped single stream must be
+        # BIT-IDENTICAL to the unbatched call, while axis_size>=2 keeps the
+        # row-packed per-iteration path (checked loosely: same trajectory).
+        xj, xm = _pack(rope_cloud)
+        base = dict(beta=0.35, lam=50000.0, lle_weight=10.0, mu=0.1,
+                    max_iter=10, tol=0.0002, include_lle=True,
+                    use_pallas=True)
+        y = jnp.asarray(nodes)
+        s2 = jnp.asarray(0.001, jnp.float32)
+        nm = jnp.ones(45, bool)
+        cp = CpdParams(**base)
+
+        run = lambda xj_, xm_, y_, nm_, s2_: cpd_lle(xj_, xm_, y_, nm_, s2_, cp)
+        r_unb = run(xj, xm, y, nm, s2)
+        bcast = lambda v, b: jnp.broadcast_to(v, (b,) + v.shape)
+        r_b1 = jax.vmap(run)(*(bcast(v, 1) for v in (xj, xm, y, nm, s2)))
+        assert np.array_equal(np.asarray(r_b1.y[0]), np.asarray(r_unb.y))
+        assert int(r_b1.iterations[0]) == int(r_unb.iterations)
+        r_b2 = jax.vmap(run)(*(bcast(v, 2) for v in (xj, xm, y, nm, s2)))
+        err = np.abs(np.asarray(r_b2.y[0]) - np.asarray(r_unb.y)).max()
         assert err < 1e-4, err
 
 

@@ -274,10 +274,21 @@ def _em_loop_dispatch(params, interpret: bool):
     with no cross-stream amortization win, so the vmap rule keeps the
     per-iteration path, whose E-step row-packs all streams per kernel and
     whose GJ solve batches all systems in one elimination (the shipped b8
-    behavior, unchanged)."""
+    behavior, unchanged).
 
-    @jax.custom_batching.custom_vmap
-    def run(dyn, y0p, coordp, nmp, gp, hgp, hy0p, jgp, pdp, xt, xmp):
+    EXCEPT at axis_size == 1 (r5): a vmap of one stream has nothing to
+    row-pack — the per-iteration path there is pure overhead (measured
+    22.3 us/EM-trip vs the fused loop's 12.3, perf/preem_trip_slope.json;
+    the round-4 "in-context per-trip exceeds the synthetic estimate"
+    mystery was exactly this — the ablation harness vmaps at b1, bench.py's
+    production b1 scan does not). The rule squeezes the batch axis and
+    takes the fused whole-loop kernel. Consequence for convergence cohorts
+    (parallel/sharding.build_batched_step_fn): cohort_size=1 is per-stream
+    early-exit on the fused kernel and is NOT bitwise-identical to the
+    lockstep batch (different f32 realization, parity within the audited
+    kernel bounds); cohorts >= 2 keep the bitwise-identity guarantee."""
+
+    def _run_fused(dyn, y0p, coordp, nmp, gp, hgp, hy0p, jgp, pdp, xt, xmp):
         from trackdlo_tpu.ops.pallas_kernels import fused_em_loop
 
         sigma2 = dyn[0, 0]
@@ -318,8 +329,22 @@ def _em_loop_dispatch(params, interpret: bool):
             stats[0, 2] > 0,
         )
 
+    @jax.custom_batching.custom_vmap
+    def run(dyn, y0p, coordp, nmp, gp, hgp, hy0p, jgp, pdp, xt, xmp):
+        return _run_fused(dyn, y0p, coordp, nmp, gp, hgp, hy0p, jgp, pdp,
+                          xt, xmp)
+
     @run.def_vmap
     def _rule(axis_size, in_batched, *args):
+        if axis_size == 1:
+            squeezed = tuple(
+                a[0] if b else a for a, b in zip(args, in_batched)
+            )
+            outs = _run_fused(*squeezed)
+            return (
+                tuple(jnp.expand_dims(o, 0) for o in outs),
+                (True, True, True, True),
+            )
         args = tuple(
             a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
             for a, b in zip(args, in_batched)

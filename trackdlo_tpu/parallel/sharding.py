@@ -76,7 +76,14 @@ def build_batched_step_fn(
     the lockstep batch (the batching rule freezes converged elements by
     select, so grouping never changes any stream's math — pinned by
     tests/test_parallel.py), only the loop scheduling changes. Measured
-    round 5 at b16: see perf/ + docs/ALGORITHM.md. Must divide the batch."""
+    round 5 at b16: see perf/ + docs/ALGORITHM.md. Must divide the batch.
+
+    EXCEPTION — cohort_size=1 (per-stream early-exit): a vmap of one
+    stream routes the EM to the fused whole-loop kernel
+    (ops/cpd_lle._em_loop_dispatch, r5), a faster but DIFFERENT f32
+    realization than the lockstep row-packed path — parity within the
+    audited kernel bounds, not bitwise. Cohorts >= 2 keep the bitwise
+    guarantee."""
     cell_px = params.downsample_cell_px or default_cell_px(
         params.downsample_leaf_size, intr.fx
     )
