@@ -50,6 +50,16 @@ def main():
     sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    import jax
+
+    try:  # persistent cache (bench._measure sets this; the batched scans
+        # don't) — without it every (batch, cohort) config recompiles
+        # remotely, ~1-3 min each over the tunnel.
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/trackdlo_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import bench
 
     configs = [
@@ -73,10 +83,10 @@ def main():
                 cohort_size=csize,
             )
             results[tag] = {"fps": round(fps, 1), "ms_per_step": round(ms, 4)}
-            print(f"{tag:8s} {fps:8.1f} fps/chip   {ms:7.3f} ms/step")
+            print(f"{tag:8s} {fps:8.1f} fps/chip   {ms:7.3f} ms/step", flush=True)
         except Exception as e:
             results[tag] = {"error": f"{type(e).__name__}: {e}"[:200]}
-            print(f"{tag:8s} ERROR {type(e).__name__}: {e}")
+            print(f"{tag:8s} ERROR {type(e).__name__}: {e}", flush=True)
 
     # Naive trip-physics prediction, relative to the lockstep row: EM cost
     # scales with n_cohorts * E[max_c] * per_trip(c); per_trip(c) from the
